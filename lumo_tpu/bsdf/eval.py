@@ -1,0 +1,305 @@
+"""BSDF evaluate / sample / pdf over material-tagged ray wavefronts.
+
+Counterpart of reference ``src/tracer/{bsdf,bxdf}.rs`` +
+``bxdf/{microfacet,scatter}.rs``: instead of enum dispatch per ray, every
+lane gathers its material row and all BxDF families are evaluated masked
+(the closed set is small, and the VPU eats the redundant lanes); results
+select by kind tag.  Directions are transformed world↔shading space with
+the Duff ONB exactly like the reference BSDF adapter (``bsdf.rs:40-90``),
+including the geometric-normal reflection test.
+
+Differentiability: sampled directions and discrete choices are detached
+(stop_gradient); f and pdf stay differentiable w.r.t. the material table.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lumo_tpu.bsdf import microfacet as mf
+from lumo_tpu.color import dense, uplift, wavelength
+from lumo_tpu.config import RADIANCE
+from lumo_tpu.geometry import onb
+from lumo_tpu.geometry.onb import dot, normalize
+from lumo_tpu.sampling import maps
+from lumo_tpu.scene.materials import (BLANK, LAMBERTIAN, LIGHT, MF_CONDUCTOR,
+                                      MF_DIELECTRIC, MF_DIFFUSE, VOLUMETRIC)
+
+PI = jnp.pi
+_TINY = 1e-30
+DELTA_EPS = 1e-5      # 1 - cosθ(wh) tolerance for delta pdf checks
+
+
+def gather_params(materials: dict, mat, lam, uv):
+    """Gather per-ray material parameters at wavelengths `lam` (N, 4)."""
+    m = materials
+    alpha = jnp.stack([m["roughness"][mat], m["roughness"][mat]], axis=-1)
+    eta4 = dense.sample(m["eta"][mat][..., None, :], lam)
+    k4 = dense.sample(m["k"][mat][..., None, :], lam)
+    kind = m["kind"][mat]
+    rough = m["roughness"][mat]
+    # delta classification (reference ``microfacet.rs:79-83``, ``bxdf.rs:57-66``)
+    mf_delta = rough < 1e-3
+    eta_lead = eta4[..., 0]
+    is_delta = jnp.where(kind == MF_CONDUCTOR, mf_delta,
+               jnp.where(kind == MF_DIELECTRIC, mf_delta | (eta_lead == 1.0),
+                         False))
+    return {
+        "kind": kind,
+        "alpha": alpha,
+        "rough_mean": rough,
+        "mf_delta": mf_delta,
+        "is_delta": is_delta,
+        "is_specular": m["is_specular"][mat],
+        "eta4": eta4,
+        "k4": k4,
+        "eta_const": m["eta_const"][mat],
+        "kd": uplift.sample(m["kd"][mat][..., None, :], lam),
+        "ks": uplift.sample(m["ks"][mat][..., None, :], lam),
+        "tf": uplift.sample(m["tf"][mat][..., None, :], lam),
+        "hg_g": m["hg_g"][mat],
+    }
+
+
+def _reflect(wo, wh):
+    """Mirror wo about wh; valid if result in wo's hemisphere
+    (reference ``bxdf/microfacet.rs:7-17``)."""
+    wi = 2.0 * dot(wo, wh)[..., None] * wh - wo
+    valid = onb.same_hemisphere(wi, wo)
+    return wi, valid
+
+
+def _refract(eta, wo, no):
+    """Snell refraction (reference ``bxdf/microfacet.rs:19-42``).  eta is
+    the material IOR; orientation flip handled internally.  Assumes TIR was
+    excluded by the Fresnel lobe choice."""
+    cos = dot(no, wo)
+    inside = cos < 0.0
+    cos_to = jnp.abs(cos)
+    eta_ratio = jnp.where(inside, 1.0 / eta, eta)
+    n = jnp.where(inside[..., None], -no, no)
+    sin2_to = 1.0 - cos_to * cos_to
+    sin2_ti = sin2_to / eta_ratio ** 2
+    cos_ti = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_ti))
+    wi = -wo / eta_ratio[..., None] + (cos_to / eta_ratio - cos_ti)[..., None] * n
+    valid = ~onb.same_hemisphere(wi, wo) & (sin2_ti < 1.0)
+    return wi, valid
+
+
+# ---------------------------------------------------------------------------
+# f — BSDF evaluation (reference ``bxdf.rs:69-103`` dispatch)
+
+def f(mp, wo_w, wi_w, ng, ns, backface, lam, mode=RADIANCE):
+    """BSDF value (N, 4).  wo_w, wi_w world-space; wo points away from the
+    surface toward the viewer."""
+    reflection = dot(ng, wi_w) * dot(ng, wo_w) >= 0.0
+    wo = onb.to_local(ns, wo_w)
+    wi = onb.to_local(ns, wi_w)
+    kind = mp["kind"]
+
+    cos_o = onb.cos_theta(wo)
+    cos_i = onb.cos_theta(wi)
+    abs_ci = jnp.maximum(jnp.abs(cos_i), _TINY)
+
+    # ---- lambertian ----
+    f_lam = mp["kd"] / PI
+
+    # ---- shared microfacet reflection terms ----
+    wh_r = normalize(wo + wi, eps=_TINY)
+    d_r = mf.d_ggx(wh_r, mp["alpha"])
+    g_r = mf.g_smith(wo, wi, wh_r, mp["alpha"])
+    cos_wh_dot = dot(wo, wh_r)
+    fr4 = mf.fresnel(cos_wh_dot[..., None], mp["eta4"], mp["k4"])
+    denom_r = 4.0 * jnp.maximum(jnp.abs(cos_o), _TINY) * abs_ci
+    refl_coeff = (d_r * g_r / denom_r)[..., None] * fr4
+
+    # ---- conductor (reference ``bxdf/microfacet.rs:516-530``) ----
+    z_axis = jnp.zeros_like(wo).at[..., 2].set(1.0)
+    fr_z = mf.fresnel(dot(wo, z_axis)[..., None], mp["eta4"], mp["k4"])
+    f_cond = jnp.where(mp["mf_delta"][..., None],
+                       mp["ks"] * fr_z / abs_ci[..., None],
+                       mp["ks"] * refl_coeff)
+
+    # ---- mf diffuse (reference ``bxdf/microfacet.rs:576-601``) ----
+    fd = mf.disney_diffuse(mp["alpha"][..., 0], cos_o, cos_i, onb.cos_theta(wh_r))
+    f_diff = refl_coeff * mp["ks"] + mp["kd"] * (1.0 - fr4) * (fd / PI)[..., None]
+
+    # ---- dielectric (reference ``bxdf/microfacet.rs:658-721``) ----
+    eta = jnp.maximum(mp["eta4"][..., 0], _TINY)       # leading wavelength
+    wo_inside = cos_o < 0.0
+    eta_ratio = jnp.where(reflection, 1.0,
+                          jnp.where(wo_inside, 1.0 / eta, eta))
+    eta_one = mp["eta4"][..., 0] == 1.0
+    die_delta = eta_one | mp["mf_delta"]
+    wh_t = jnp.where(die_delta[..., None], z_axis,
+                     normalize(wi * eta_ratio[..., None] + wo, eps=_TINY))
+    fr_t = mf.fresnel(dot(wo, wh_t)[..., None], mp["eta4"], mp["k4"])
+    wh_tp = jnp.where(onb.cos_theta(wh_t)[..., None] < 0.0, -wh_t, wh_t)
+    scale = jnp.where(mode == RADIANCE, eta_ratio ** 2, 1.0)
+    # reflection branch
+    f_die_refl = jnp.where(die_delta[..., None],
+                           mp["ks"] * fr_t / abs_ci[..., None],
+                           mp["ks"] * refl_coeff)
+    # transmission branch
+    d_t = mf.d_ggx(wh_tp, mp["alpha"])
+    g_t = mf.g_smith(wo, wi, wh_tp, mp["alpha"])
+    whdo = dot(wh_tp, wo)
+    whdi = dot(wh_tp, wi)
+    denom_t = jnp.maximum((eta_ratio * whdi + whdo) ** 2, _TINY)
+    jac = jnp.abs(whdi * whdo / jnp.maximum(jnp.abs(cos_i * cos_o), _TINY))
+    f_die_tran_rough = (mp["tf"] * (1.0 - fr_t)
+                        * (d_t * g_t * jac / (scale * denom_t))[..., None])
+    f_die_tran_delta = mp["tf"] * (1.0 - fr_t) / (scale * abs_ci)[..., None]
+    f_die_tran = jnp.where(die_delta[..., None], f_die_tran_delta, f_die_tran_rough)
+    f_die = jnp.where(reflection[..., None], f_die_refl, f_die_tran)
+
+    # ---- reflection-only families reject transmission/backface configs
+    #      (reference ``bxdf.rs:78-84``) ----
+    refl_ok = reflection & ~backface
+    zero = jnp.zeros_like(f_lam)
+    out = jnp.where(kind[..., None] == LAMBERTIAN, jnp.where(refl_ok[..., None], f_lam, zero),
+          jnp.where(kind[..., None] == MF_DIFFUSE, jnp.where(refl_ok[..., None], f_diff, zero),
+          jnp.where(kind[..., None] == MF_CONDUCTOR, jnp.where(refl_ok[..., None], f_cond, zero),
+          jnp.where(kind[..., None] == MF_DIELECTRIC, f_die, zero))))
+    return jnp.where(jnp.isfinite(out), out, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# sample (reference ``bxdf.rs:105-133``)
+
+def sample(mp, wo_w, ns, backface, lam, u_lobe, u_sq):
+    """Sample a scattering direction.
+
+    Returns (wi_world, valid, lam_out): lam_out has trailing hero samples
+    terminated when a dispersive dielectric was sampled
+    (reference ``dielectric::sample``, ``bxdf/microfacet.rs:723-751``).
+    """
+    wo = onb.to_local(ns, wo_w)
+    kind = mp["kind"]
+    z_axis = jnp.zeros_like(wo).at[..., 2].set(1.0)
+
+    # lambertian / diffuse cosine lobe
+    wi_cos = maps.square_to_cos_hemisphere(u_sq)
+
+    wh = mf.sample_vndf(wo, mp["alpha"], u_sq)
+
+    # conductor
+    wi_spec_delta = onb.reflect_z(wo)
+    wi_refl, refl_ok = _reflect(wo, wh)
+    wi_cond = jnp.where(mp["mf_delta"][..., None], wi_spec_delta, wi_refl)
+    cond_ok = jnp.where(mp["mf_delta"], True, refl_ok)
+
+    # mf diffuse: Fresnel-schlick lobe pick (reference ``diffuse::sample``)
+    pr_d = mf.f_schlick(0.04, 1.0, onb.cos_theta(wo))
+    pick_spec = u_lobe < pr_d
+    wh_d = jnp.where(mp["mf_delta"][..., None], z_axis, wh)
+    wi_dspec, dspec_ok = _reflect(wo, wh_d)
+    wi_diff = jnp.where(pick_spec[..., None], wi_dspec, wi_cos)
+    diff_ok = jnp.where(pick_spec, dspec_ok, True)
+
+    # dielectric: possibly terminate wavelengths, then Fresnel lobe pick
+    dispersive = (kind == MF_DIELECTRIC) & ~mp["eta_const"]
+    lam_out = wavelength.terminate(lam, dispersive)
+    eta_lead = jnp.maximum(mp["eta4"][..., 0], _TINY)
+    die_delta = (mp["eta4"][..., 0] == 1.0) | mp["mf_delta"]
+    wh_t = jnp.where(die_delta[..., None], z_axis, wh)
+    pr = mf.fresnel(dot(wo, wh_t), eta_lead, mp["k4"][..., 0])
+    pick_refl = u_lobe < pr            # pt = 1 - pr
+    wi_die_r, die_r_ok = _reflect(wo, wh_t)
+    wi_die_t, die_t_ok = _refract(eta_lead, wo, wh_t)
+    wi_die = jnp.where(pick_refl[..., None], wi_die_r, wi_die_t)
+    die_ok = jnp.where(pick_refl, die_r_ok, die_t_ok)
+
+    wi = jnp.where(kind[..., None] == LAMBERTIAN, wi_cos,
+         jnp.where(kind[..., None] == MF_DIFFUSE, wi_diff,
+         jnp.where(kind[..., None] == MF_CONDUCTOR, wi_cond,
+         jnp.where(kind[..., None] == MF_DIELECTRIC, wi_die, wi_cos))))
+    ok = jnp.where(kind == LAMBERTIAN, True,
+         jnp.where(kind == MF_DIFFUSE, diff_ok,
+         jnp.where(kind == MF_CONDUCTOR, cond_ok,
+         jnp.where(kind == MF_DIELECTRIC, die_ok, False))))
+
+    # reflection-only BxDFs cannot sample from the backface
+    # (reference ``bxdf.rs:109-112``)
+    is_transmissive = kind == MF_DIELECTRIC
+    ok = ok & (is_transmissive | ~backface)
+    has_bsdf = (kind != LIGHT) & (kind != BLANK)
+    ok = ok & has_bsdf
+
+    wi_w = onb.to_world(ns, wi)
+    wi_w = normalize(jax.lax.stop_gradient(wi_w), eps=_TINY)
+    return wi_w, ok, lam_out
+
+
+# ---------------------------------------------------------------------------
+# pdf (reference ``bxdf.rs:135-151``)
+
+def pdf(mp, wo_w, wi_w, ng, ns, lam):
+    reflection = dot(ng, wi_w) * dot(ng, wo_w) >= 0.0
+    wo = onb.to_local(ns, wo_w)
+    wi = onb.to_local(ns, wi_w)
+    kind = mp["kind"]
+    same_hemi = onb.same_hemisphere(wo, wi)
+
+    # cosine pdf
+    cos_i = onb.cos_theta(wi)
+    p_cos = jnp.where(same_hemi & (cos_i > 0.0), cos_i / PI, 0.0)
+
+    # reflection half-vector pdf
+    wh_r = normalize(wo + wi, eps=_TINY)
+    wh_r = jnp.where(onb.cos_theta(wh_r)[..., None] < 0.0, -wh_r, wh_r)
+    whdo_r = jnp.abs(dot(wo, wh_r))
+    p_refl_rough = mf.vndf_pdf(wh_r, wo, mp["alpha"]) / jnp.maximum(4.0 * whdo_r, _TINY)
+    p_refl_delta = jnp.where(1.0 - onb.cos_theta(wh_r) < DELTA_EPS, 1.0, 0.0)
+
+    # conductor
+    p_cond = jnp.where(mp["mf_delta"], p_refl_delta, p_refl_rough)
+    p_cond = jnp.where(same_hemi, p_cond, 0.0)
+
+    # mf diffuse
+    pr_d = mf.f_schlick(0.04, 1.0, onb.cos_theta(wo))
+    p_spec = jnp.where(mp["mf_delta"], p_refl_delta, p_refl_rough)
+    p_diff = pr_d * p_spec + (1.0 - pr_d) * p_cos
+    p_diff = jnp.where(same_hemi, p_diff, 0.0)
+
+    # dielectric (reference ``dielectric::pdf``, ``bxdf/microfacet.rs:753-821``)
+    eta = mp["eta4"][..., 0]
+    cos_o = onb.cos_theta(wo)
+    wo_inside = cos_o < 0.0
+    eta_ratio = jnp.where(reflection, 1.0,
+                          jnp.where(wo_inside, 1.0 / jnp.maximum(eta, _TINY), eta))
+    eta_one = eta == 1.0
+    die_delta = eta_one | mp["mf_delta"]
+    z_axis = jnp.zeros_like(wo).at[..., 2].set(1.0)
+    wh = jnp.where(eta_one[..., None], z_axis,
+                   normalize(wo + wi * eta_ratio[..., None], eps=_TINY))
+    wh = jnp.where(onb.cos_theta(wh)[..., None] < 0.0, -wh, wh)
+    whdo = dot(wo, wh)
+    whdi = dot(wi, wh)
+    degenerate = (whdo == 0.0) | (whdi == 0.0)
+    backfacing_wh = (whdo * cos_o < 0.0) | (whdi * onb.cos_theta(wi) < 0.0)
+    pr = mf.fresnel(whdo, jnp.maximum(eta, _TINY), mp["k4"][..., 0])
+    pt = 1.0 - pr
+    wh_is_z = 1.0 - onb.cos_theta(wh) < DELTA_EPS
+    p_vndf = mf.vndf_pdf(wh, wo, mp["alpha"])
+    p_die = jnp.where(
+        reflection & die_delta, jnp.where(wh_is_z, pr, 0.0),
+        jnp.where(reflection, p_vndf / jnp.maximum(4.0 * jnp.abs(whdo), _TINY) * pr,
+        jnp.where(die_delta, jnp.where(wh_is_z, pt, 0.0),
+                  p_vndf * jnp.abs(whdi)
+                  / jnp.maximum((whdi + whdo / eta_ratio) ** 2, _TINY) * pt)))
+    p_die = jnp.where(degenerate | backfacing_wh, 0.0, p_die)
+
+    refl_ok = reflection
+    out = jnp.where(kind == LAMBERTIAN, jnp.where(refl_ok, p_cos, 0.0),
+          jnp.where(kind == MF_DIFFUSE, jnp.where(refl_ok, p_diff, 0.0),
+          jnp.where(kind == MF_CONDUCTOR, jnp.where(refl_ok, p_cond, 0.0),
+          jnp.where(kind == MF_DIELECTRIC, p_die, 0.0))))
+    return jnp.where(jnp.isfinite(out), out, 0.0)
+
+
+def shading_cosine(mp, wi_w, ns):
+    """|ns·wi| for surface materials, 1 for volumetric
+    (reference ``material.rs:316-321``)."""
+    c = jnp.abs(dot(ns, wi_w))
+    return jnp.where(mp["kind"] == VOLUMETRIC, 1.0, c)

@@ -1,0 +1,183 @@
+"""GGX microfacet distribution: NDF, Smith shadow-masking, VNDF sampling,
+exact dielectric + complex-conductor Fresnel, Disney diffuse.
+
+Batched counterpart of reference ``src/tracer/microfacet.rs`` — every
+function maps (N, ...) wavefronts in shading space (z-up).  Complex
+arithmetic for conductor Fresnel is explicit real/imag pairs (TPU has no
+native complex), matching ``src/math/complex.rs`` + ``fr_complex``.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from lumo_tpu.geometry import onb
+from lumo_tpu.geometry.onb import dot, normalize
+
+PI = jnp.pi
+_TINY = 1e-30
+
+
+def d_ggx(wh, alpha):
+    """Anisotropic GGX NDF (reference ``microfacet.rs:173-196``).
+    wh: (N, 3) half vectors; alpha: (N, 2) roughness."""
+    t2 = onb.tan2_theta(wh)
+    c4 = onb.cos2_theta(wh) ** 2
+    cp = onb.cos_phi(wh)
+    sp = onb.sin_phi(wh)
+    a2 = alpha[..., 0] * alpha[..., 1]
+    e = t2 * ((cp / alpha[..., 0]) ** 2 + (sp / alpha[..., 1]) ** 2)
+    d = 1.0 / (PI * a2 * jnp.maximum(c4, _TINY) * (1.0 + e) ** 2)
+    ok = jnp.isfinite(t2) & (c4 >= 1e-20)
+    return jnp.where(ok, d, 0.0)
+
+
+def _lambda_ggx(w, alpha):
+    """Smith Λ for GGX, exact (reference ``microfacet.rs:324-340``)."""
+    t2 = onb.tan2_theta(w)
+    cp = onb.cos_phi(w)
+    sp = onb.sin_phi(w)
+    a2 = (alpha[..., 0] * cp) ** 2 + (alpha[..., 1] * sp) ** 2
+    lam = (jnp.sqrt(jnp.maximum(0.0, 1.0 + a2 * t2)) - 1.0) / 2.0
+    return jnp.where(jnp.isfinite(t2), lam, 0.0)
+
+
+def _chi_pass(wo, wh, eps):
+    """χ⁺ visibility test (reference ``microfacet.rs:285-291``)."""
+    chi = jnp.sign(onb.cos_theta(wh)) * dot(wo, wh) * onb.cos_theta(wo)
+    return chi > eps
+
+
+def g_smith(wo, wi, wh, alpha, eps=1e-7):
+    g = 1.0 / (1.0 + _lambda_ggx(wo, alpha) + _lambda_ggx(wi, alpha))
+    return jnp.where(_chi_pass(wo, wh, eps), g, 0.0)
+
+
+def g1_smith(wo, wh, alpha, eps=1e-7):
+    g = 1.0 / (1.0 + _lambda_ggx(wo, alpha))
+    return jnp.where(_chi_pass(wo, wh, eps), g, 0.0)
+
+
+def sample_vndf(wo, alpha, u):
+    """Heitz 2018 visible-NDF sampling of GGX normals
+    (reference ``microfacet.rs:384-433``).  wo: (N,3); u: (N,2)."""
+    dt = wo.dtype
+    w_st = normalize(jnp.stack([wo[..., 0] * alpha[..., 0],
+                                wo[..., 1] * alpha[..., 1],
+                                wo[..., 2]], axis=-1))
+    w_st = jnp.where(w_st[..., 2:3] < 0.0, -w_st, w_st)
+
+    # hemisphere ONB; first vector perpendicular to Z
+    degenerate = (1.0 - w_st[..., 2]) < 1e-7
+    zaxis = jnp.zeros_like(w_st).at[..., 2].set(1.0)
+    u_b = jnp.where(degenerate[..., None],
+                    jnp.zeros_like(w_st).at[..., 0].set(1.0),
+                    normalize(jnp.cross(w_st, zaxis), eps=_TINY))
+    v_b = jnp.cross(u_b, w_st)
+
+    r = jnp.sqrt(u[..., 0])
+    theta = 2.0 * PI * u[..., 1]
+    x = r * jnp.cos(theta)
+    h = jnp.sqrt(jnp.maximum(0.0, 1.0 - x * x))
+    lerp = (1.0 + w_st[..., 2]) / 2.0
+    y = (1.0 - lerp) * h + lerp * r * jnp.sin(theta)
+    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - x * x - y * y))
+
+    wm = x[..., None] * u_b + y[..., None] * v_b + z[..., None] * w_st
+    wh = jnp.stack([alpha[..., 0] * wm[..., 0],
+                    alpha[..., 1] * wm[..., 1],
+                    jnp.maximum(wm[..., 2], jnp.asarray(1e-7, dt))], axis=-1)
+    return normalize(wh)
+
+
+def vndf_pdf(wh, wo, alpha):
+    """PDF of `sample_vndf` (reference ``microfacet.rs:361-380``)."""
+    pdf = (g1_smith(wo, wh, alpha) * d_ggx(wh, alpha)
+           * jnp.abs(dot(wh, wo)) / jnp.maximum(jnp.abs(onb.cos_theta(wo)), _TINY))
+    return jnp.maximum(pdf, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Fresnel
+
+def fr_real(cos_o_signed, eta):
+    """Exact real dielectric Fresnel with TIR; cos_o_signed = wo·wh
+    (sign encodes inside/outside), eta: outside IOR ratio
+    (reference ``microfacet.rs:262-282``)."""
+    inside = cos_o_signed < 0.0
+    eta_r = jnp.where(inside, 1.0 / eta, eta)
+    cos_o = jnp.abs(cos_o_signed)
+    sin2_o = 1.0 - cos_o * cos_o
+    sin2_i = sin2_o / (eta_r * eta_r)
+    tir = sin2_i >= 1.0
+    cos_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.minimum(sin2_i, 1.0)))
+    r_par = (eta_r * cos_o - cos_i) / jnp.maximum(eta_r * cos_o + cos_i, _TINY)
+    r_per = (cos_o - eta_r * cos_i) / jnp.maximum(cos_o + eta_r * cos_i, _TINY)
+    f = (r_par ** 2 + r_per ** 2) / 2.0
+    return jnp.where(tir, 1.0, f)
+
+
+def _csqrt(re, im):
+    """Principal complex sqrt from real/imag parts."""
+    r = jnp.sqrt(re * re + im * im)
+    a = jnp.sqrt(jnp.maximum((r + re) / 2.0, 0.0))
+    b = jnp.sign(im) * jnp.sqrt(jnp.maximum((r - re) / 2.0, 0.0))
+    # im == 0, re < 0: sqrt is purely imaginary positive
+    b = jnp.where((im == 0.0) & (re < 0.0), jnp.sqrt(jnp.maximum(-re, 0.0)), b)
+    return a, b
+
+
+def fr_complex(cos_o, eta, k):
+    """Exact conductor Fresnel with complex IOR η + iκ
+    (reference ``microfacet.rs:246-259``).  cos_o clamped to [0,1]."""
+    c = jnp.clip(cos_o, 0.0, 1.0)
+    sin2_o = 1.0 - c * c
+    # sin2_i = sin2_o / eta^2  (complex division)
+    e2_re = eta * eta - k * k
+    e2_im = 2.0 * eta * k
+    denom = e2_re * e2_re + e2_im * e2_im
+    s_re = sin2_o * e2_re / jnp.maximum(denom, _TINY)
+    s_im = -sin2_o * e2_im / jnp.maximum(denom, _TINY)
+    # cos_i = sqrt(1 - sin2_i)
+    ci_re, ci_im = _csqrt(1.0 - s_re, -s_im)
+    # r_par = (eta cos_o - cos_i) / (eta cos_o + cos_i)
+    ec_re, ec_im = eta * c, k * c
+    num_re, num_im = ec_re - ci_re, ec_im - ci_im
+    den_re, den_im = ec_re + ci_re, ec_im + ci_im
+    dd = jnp.maximum(den_re ** 2 + den_im ** 2, _TINY)
+    rp_re = (num_re * den_re + num_im * den_im) / dd
+    rp_im = (num_im * den_re - num_re * den_im) / dd
+    # r_per = (cos_o - eta cos_i) / (cos_o + eta cos_i)
+    eci_re = eta * ci_re - k * ci_im
+    eci_im = eta * ci_im + k * ci_re
+    num_re, num_im = c - eci_re, -eci_im
+    den_re, den_im = c + eci_re, eci_im
+    dd = jnp.maximum(den_re ** 2 + den_im ** 2, _TINY)
+    rs_re = (num_re * den_re + num_im * den_im) / dd
+    rs_im = (num_im * den_re - num_re * den_im) / dd
+    return ((rp_re ** 2 + rp_im ** 2) + (rs_re ** 2 + rs_im ** 2)) / 2.0
+
+
+def fresnel(cos_o_signed, eta, k):
+    """Dispatch: conductor when k > 0, dielectric otherwise, 0 when
+    eta == 0 (reference ``microfacet.rs:231-243``).  All args (..., 4)
+    per-wavelength."""
+    f = jnp.where(k == 0.0,
+                  jnp.where(eta == 0.0, 0.0, fr_real(cos_o_signed, jnp.maximum(eta, _TINY))),
+                  fr_complex(cos_o_signed, eta, jnp.maximum(k, _TINY)))
+    return f
+
+
+def f_schlick(f0, f90, cos_theta):
+    return f0 + (f90 - f0) * (1.0 - cos_theta) ** 5
+
+
+def disney_diffuse(alpha_x, cos_wo, cos_wi, cos_wh):
+    """Burley 2012 diffuse with Frostbite renormalization
+    (reference ``microfacet.rs:147-163``)."""
+    r2 = alpha_x ** 2
+    energy_bias = 0.5 * r2
+    fd90 = energy_bias + 2.0 * cos_wh ** 2 * r2
+    view = f_schlick(1.0, fd90, cos_wo)
+    light = f_schlick(1.0, fd90, cos_wi)
+    energy_factor = 1.0 + r2 * (1.0 / 1.51 - 1.0)
+    return view * light * energy_factor

@@ -1,0 +1,195 @@
+"""Batched ray–primitive intersection kernels (the hot path).
+
+TPU-native re-design of the reference's per-ray intersection routines
+(``src/tracer/object/{triangle,sphere}.rs``): a wavefront of N rays is
+tested against primitives as dense (N, T) vectorized ops — no recursion,
+no per-ray control flow.  The watertight Woop et al. 2013 permute+shear
+triangle test and the robust sphere quadratic with surface reprojection
+are ported faithfully so the f32 device path stays acne-free; fp error
+bounds use PBR-style gamma terms (reference ``triangle.rs:133-153``,
+``hit.rs:86-110``).
+
+Primitive ids are global: [0, T) triangles, [T, T+S) spheres.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from lumo_tpu.config import INF, gamma_bound
+from lumo_tpu.geometry.onb import dot, normalize
+
+
+def _permute_axes(v, kz):
+    """Cyclically permute xyz so that axis kz lands in z. v: (..., 3),
+    kz: (...) int32."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    px = jnp.where(kz == 0, y, jnp.where(kz == 1, z, x))
+    py = jnp.where(kz == 0, z, jnp.where(kz == 1, x, y))
+    pz = jnp.where(kz == 0, x, jnp.where(kz == 1, y, z))
+    return jnp.stack([px, py, pz], axis=-1)
+
+
+def ray_setup(d):
+    """Per-ray Woop precomputation: max-axis index and shear constants.
+    d: (N, 3) ray directions → (kz (N,), shear (N, 3)) where shear =
+    (-dx/dz, -dy/dz, 1/dz) in permuted space."""
+    ad = jnp.abs(d)
+    kz = jnp.where((ad[..., 0] > ad[..., 1]) & (ad[..., 0] > ad[..., 2]), 0,
+                   jnp.where(ad[..., 1] > ad[..., 2], 1, 2))
+    dp = _permute_axes(d, kz)
+    inv_z = 1.0 / dp[..., 2]
+    shear = jnp.stack([-dp[..., 0] * inv_z, -dp[..., 1] * inv_z, inv_z], axis=-1)
+    return kz, shear
+
+
+def triangle_t(o, kz, shear, a, b, c, t_min, t_max):
+    """Watertight triangle intersection, t-only (any-hit / closest-hit
+    candidate pass).
+
+    o: (N, 3) origins; kz/(N,), shear/(N, 3) from `ray_setup`;
+    a, b, c: (N, T, 3) triangle vertices (already broadcast/gathered);
+    t_min/t_max: scalars or (N, 1).
+    Returns (t, det, edges): t = (N, T) hit distance (INF if miss).
+    """
+    kzb = kz[..., None]
+    at = _permute_axes(a - o[..., None, :], kzb)
+    bt = _permute_axes(b - o[..., None, :], kzb)
+    ct = _permute_axes(c - o[..., None, :], kzb)
+    sx, sy, sz = (shear[..., None, 0], shear[..., None, 1], shear[..., None, 2])
+
+    ax = at[..., 0] + sx * at[..., 2]
+    ay = at[..., 1] + sy * at[..., 2]
+    bx = bt[..., 0] + sx * bt[..., 2]
+    by = bt[..., 1] + sy * bt[..., 2]
+    cx = ct[..., 0] + sx * ct[..., 2]
+    cy = ct[..., 1] + sy * ct[..., 2]
+
+    e0 = bx * cy - by * cx
+    e1 = cx * ay - cy * ax
+    e2 = ax * by - ay * bx
+
+    # all edges same sign (watertight: zero edges pass)
+    miss_sign = ((jnp.minimum(jnp.minimum(e0, e1), e2) < 0.0)
+                 & (jnp.maximum(jnp.maximum(e0, e1), e2) > 0.0))
+    det = e0 + e1 + e2
+    az = sz * at[..., 2]
+    bz = sz * bt[..., 2]
+    cz = sz * ct[..., 2]
+    t_scaled = e0 * az + e1 * bz + e2 * cz
+
+    neg = det < 0.0
+    out_range = jnp.where(
+        neg,
+        (t_scaled > t_min * det) | (t_scaled < t_max * det),
+        (t_scaled < t_min * det) | (t_scaled > t_max * det),
+    )
+    ok = ~miss_sign & (det != 0.0) & ~out_range
+    t = jnp.where(ok, t_scaled / jnp.where(det == 0.0, 1.0, det), INF)
+
+    # conservative fp error bound on t (reference ``triangle.rs:133-153``)
+    max_z = jnp.maximum(jnp.abs(az), jnp.maximum(jnp.abs(bz), jnp.abs(cz)))
+    max_x = jnp.maximum(jnp.abs(ax), jnp.maximum(jnp.abs(bx), jnp.abs(cx)))
+    max_y = jnp.maximum(jnp.abs(ay), jnp.maximum(jnp.abs(by), jnp.abs(cy)))
+    d_z = gamma_bound(3) * max_z
+    d_x = gamma_bound(5) * (max_x + max_z)
+    d_y = gamma_bound(5) * (max_y + max_z)
+    d_e = 2.0 * (gamma_bound(2) * max_x * max_y + d_y * max_x + d_x * max_y)
+    max_e = jnp.maximum(jnp.abs(e0), jnp.maximum(jnp.abs(e1), jnp.abs(e2)))
+    abs_det = jnp.maximum(jnp.abs(det), jnp.finfo(t.dtype).tiny)
+    d_t = 3.0 * (gamma_bound(3) * max_e * max_z + d_e * max_z + d_z * max_e) / abs_det
+    t = jnp.where(t <= t_min + d_t, INF, t)
+    return t, det, jnp.stack([e0, e1, e2], axis=-1)
+
+
+def triangle_detail(o, d, a, b, c, na, nb, nc, uva, uvb, uvc):
+    """Shading data for the already-selected closest triangle per ray.
+
+    All args (N, ...) — single triangle per ray (post-argmin gather).
+    Returns dict with p, ng, ns, uv, err (fp error bound vector).
+    """
+    kz, shear = ray_setup(d)
+    t, det, edges = triangle_t(o, kz, shear, a[:, None], b[:, None], c[:, None],
+                               0.0, INF)
+    det = det[:, 0]
+    bary = edges[:, 0] / jnp.where(det == 0.0, 1.0, det)[..., None]  # (N, 3)
+    al, be, ga = bary[..., 0:1], bary[..., 1:2], bary[..., 2:3]
+    p = al * a + be * b + ga * c
+    ng = normalize(jnp.cross(b - a, c - a))
+    ns_raw = al * na + be * nb + ga * nc
+    has_ns = jnp.sum(ns_raw * ns_raw, axis=-1, keepdims=True) > 1e-12
+    ns = jnp.where(has_ns, normalize(jnp.where(has_ns, ns_raw, ng)), ng)
+    uv = al * uva + be * uvb + ga * uvc
+    err = gamma_bound(7) * (jnp.abs(al * a) + jnp.abs(be * b) + jnp.abs(ga * c))
+    return {"p": p, "ng": ng, "ns": ns, "uv": uv, "err": err}
+
+
+def sphere_t(o, d, center, radius, t_min, t_max):
+    """Robust sphere intersection, t-only.
+
+    o, d: (N, 3); center: (N, S, 3) or (S, 3); radius: (S,) or (N, S).
+    Returns t: (N, S) (INF if miss).  Uses the numerically stable
+    quadratic; the reference's EFloat interval bounds are replaced by a
+    conservative epsilon on t (surface reprojection in `sphere_detail`
+    recovers the precision that matters).
+    """
+    oc = o[..., None, :] - center  # (N, S, 3)
+    # dir is normalized → A = 1
+    half_b = jnp.sum(oc * d[..., None, :], axis=-1)
+    cc = jnp.sum(oc * oc, axis=-1) - radius * radius
+    disc = half_b * half_b - cc
+    ok = disc >= 0.0
+    root = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # stable: q = -(half_b + sign(half_b) root)
+    q = -(half_b + jnp.sign(half_b) * root)
+    t0 = jnp.where(jnp.abs(q) > 0, cc / jnp.where(q == 0, 1.0, q), INF)
+    t1 = q
+    lo = jnp.minimum(t0, t1)
+    hi = jnp.maximum(t0, t1)
+    # conservative epsilon — scaled by distance for f32 robustness
+    eps = 32.0 * jnp.finfo(o.dtype).eps * jnp.maximum(jnp.abs(hi), 1.0)
+    lo_ok = ok & (lo > t_min + eps) & (lo < t_max)
+    hi_ok = ok & (hi > t_min + eps) & (hi < t_max)
+    t = jnp.where(lo_ok, lo, jnp.where(hi_ok, hi, INF))
+    return t
+
+
+def sphere_detail(o, d, t, center, radius):
+    """Shading data for the selected sphere hit per ray (all (N, ...)).
+
+    Reprojects the hit point exactly onto the sphere surface
+    (reference ``sphere.rs:63-64``)."""
+    p_raw = o + t[..., None] * d
+    rel = p_raw - center
+    rel = rel * (radius[..., None] / jnp.maximum(
+        jnp.linalg.norm(rel, axis=-1, keepdims=True), jnp.finfo(o.dtype).tiny))
+    p = center + rel
+    ng = rel / radius[..., None]
+    # uv: spherical coords (matches reference disk/sphere uv convention)
+    theta = jnp.arccos(jnp.clip(-ng[..., 1], -1.0, 1.0))
+    phi = jnp.arctan2(-ng[..., 2], ng[..., 0]) + jnp.pi
+    uv = jnp.stack([phi / (2.0 * jnp.pi), theta / jnp.pi], axis=-1)
+    err = gamma_bound(5) * jnp.abs(p)
+    return {"p": p, "ng": ng, "ns": ng, "uv": uv, "err": err}
+
+
+def aabb_t(o, inv_d, lo, hi, t_max):
+    """Slab test. o, inv_d: (N, 3); lo, hi: (..., 3) broadcastable →
+    (t_start, t_end) with conservative scaling (reference
+    ``aabb.rs:32-44``)."""
+    t0 = (lo - o[..., None, :]) * inv_d[..., None, :]
+    t1 = (hi - o[..., None, :]) * inv_d[..., None, :]
+    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1) * (1.0 + 2.0 * gamma_bound(3))
+    return t_near, t_far
+
+
+def offset_ray_origin(p, err, ng, wi):
+    """Robustly offset a secondary-ray origin out of the surface using the
+    accumulated fp error bounds (reference ``hit.rs:86-110``)."""
+    scaled = jnp.sum(err * jnp.abs(ng), axis=-1, keepdims=True)
+    outside = jnp.sum(wi * ng, axis=-1, keepdims=True) >= 0.0
+    offset = jnp.where(outside, 1.0, -1.0) * scaled * ng
+    xi = p + offset
+    up = jnp.nextafter(xi, jnp.full_like(xi, INF))
+    down = jnp.nextafter(xi, jnp.full_like(xi, -INF))
+    return jnp.where(offset > 0.0, up, jnp.where(offset < 0.0, down, xi))

@@ -1,0 +1,94 @@
+"""Shared integrator machinery: next-event estimation with power-2 MIS.
+
+Wavefront counterpart of reference ``src/tracer/integrator.rs:74-184``
+(`shadow_rays` / `single_shadow_ray` / `mis_sample`): each lane samples a
+light by the alias table, shoots the light-sample and BSDF-sample shadow
+rays, and combines them with the power heuristic — all as masked batch
+ops, ``num_shadow_rays`` unrolled statically.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lumo_tpu.bsdf import eval as bsdf
+from lumo_tpu.config import RADIANCE, epsilon
+from lumo_tpu.geometry import intersect as geo
+from lumo_tpu.scene import trace
+
+_TINY = 1e-30
+
+
+def _uniforms(key, shape, n):
+    """n independent uniform arrays of `shape`."""
+    u = jax.random.uniform(key, shape + (n,))
+    return [u[..., i] for i in range(n)]
+
+
+def mis_weight_and_contrib(scene, mp, wo, wi, hit, light_hit, lam,
+                           p_lig, p_sct, light_sampled):
+    """The `mis_sample` term (reference ``integrator.rs:139-184``):
+    f · Tr · Le · |cos| · w / p  with power-2 heuristic."""
+    ok = (p_lig > 0.0) & (p_sct > 0.0)
+    f_val = bsdf.f(mp, wo, wi, hit["ng"], hit["ns"], hit["backface"], lam, RADIANCE)
+    # medium hits cancel pdf (not yet: surface only)
+    tr = trace.transmittance(scene, lam, light_hit["t"])
+    emit = trace.emitted(scene, light_hit["mat"], lam,
+                         light_hit["uv"], light_hit["backface"])
+    cos = bsdf.shading_cosine(mp, wi, hit["ns"])
+    h2 = lambda p: p * p
+    denom = h2(p_lig) + h2(p_sct)
+    w = jnp.where(light_sampled, h2(p_lig), h2(p_sct)) / jnp.maximum(denom, _TINY)
+    p_denom = jnp.where(light_sampled, p_lig, p_sct)
+    contrib = f_val * tr * emit * (cos * w / jnp.maximum(p_denom, _TINY))[..., None]
+    return jnp.where(ok[..., None], contrib, 0.0)
+
+
+def _shadow_branch(scene, mp, wo, wi, hit, light, lam, light_sampled):
+    """Common tail of both NEE branches: trace to the chosen light, check
+    occlusion, compute both pdfs, MIS-combine."""
+    o = geo.offset_ray_origin(hit["p"], hit["err"], hit["ng"], wi)
+    lh = trace.light_hit(scene, light, o, wi)
+    t_max = (lh["t"] - epsilon()) * (1.0 - 8.0 * jnp.finfo(o.dtype).eps)
+    occ = trace.occluded(scene, o, wi, t_max)
+    visible = lh["valid"] & ~occ
+    p_lig = trace.sample_towards_pdf(scene, light, o, wi, lh["p"], lh["ng"])
+    p_sct = bsdf.pdf(mp, wo, wi, hit["ng"], hit["ns"], lam)
+    contrib = mis_weight_and_contrib(scene, mp, wo, wi, hit, lh, lam,
+                                     p_lig, p_sct, light_sampled)
+    return jnp.where(visible[..., None], contrib, 0.0)
+
+
+def single_shadow_ray(scene, mp, wo, hit, lam, key):
+    """One NEE estimate (reference ``integrator.rs:87-137``): sample the
+    light + sample the BSDF, MIS both, divide by the light-choice pdf."""
+    N = wo.shape[0]
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    u_light = jax.random.uniform(k1, (N,))
+    light, pdf_light = trace.sample_light(scene, u_light)
+
+    # branch A: sample the light
+    u_sq = jax.random.uniform(k2, (N, 2))
+    wi_a = trace.sample_towards(scene, light, hit["p"], u_sq)
+    wi_a = jax.lax.stop_gradient(wi_a)
+    contrib_a = _shadow_branch(scene, mp, wo, wi_a, hit, light, lam, True)
+
+    # branch B: sample the BSDF
+    u_lobe = jax.random.uniform(k3, (N,))
+    u_sq2 = jax.random.uniform(k4, (N, 2))
+    wi_b, ok_b, _ = bsdf.sample(mp, wo, hit["ns"], hit["backface"], lam, u_lobe, u_sq2)
+    contrib_b = _shadow_branch(scene, mp, wo, wi_b, hit, light, lam, False)
+    contrib_b = jnp.where(ok_b[..., None], contrib_b, 0.0)
+
+    return (contrib_a + contrib_b) / jnp.maximum(pdf_light[..., None], _TINY)
+
+
+def shadow_rays(scene, mp, wo, gathered, hit, lam, key):
+    """Average ``n_shadow_rays`` NEE estimates, scaled by path throughput
+    (reference ``integrator.rs:74-85``)."""
+    n = scene.n_shadow_rays
+    acc = 0.0
+    for i in range(n):
+        acc = acc + single_shadow_ray(scene, mp, wo, hit, lam,
+                                      jax.random.fold_in(key, i))
+    return gathered * acc / n

@@ -1,0 +1,90 @@
+"""Direct-light integrator: follow specular chains, one NEE at the first
+non-specular hit.
+
+Wavefront counterpart of reference
+``src/tracer/integrator/direct_light.rs`` — up to ``MAX_RECURSION``
+specular bounces in a ``lax.while_loop``, then a single MIS'd NEE.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lumo_tpu.bsdf import eval as bsdf
+from lumo_tpu.config import RADIANCE
+from lumo_tpu.geometry import intersect as geo
+from lumo_tpu.integrators import common
+from lumo_tpu.scene import trace
+
+_TINY = 1e-30
+MAX_RECURSION = 50    # reference ``direct_light.rs:3``
+
+
+def integrate(scene, o, d, lam, key, max_depth=MAX_RECURSION):
+    """Returns (radiance (N, 4), lam_out, depth)."""
+    N = o.shape[0]
+    dt = o.dtype
+    state = {
+        "o": o, "d": d, "lam": lam,
+        "radiance": jnp.zeros((N, 4), dt),
+        "gathered": jnp.ones((N, 4), dt),
+        "alive": jnp.ones((N,), bool),
+        "depth": jnp.zeros((N,), jnp.int32),
+        "bounce": jnp.zeros((), jnp.int32),
+        "key": key,
+    }
+
+    def cond(s):
+        return jnp.any(s["alive"]) & (s["bounce"] <= max_depth)
+
+    def body(s):
+        key, k_nee, k_lobe, k_sq = jax.random.split(s["key"], 4)
+        hit = trace.intersect(scene, s["o"], s["d"])
+        alive = s["alive"] & hit["valid"]
+        wo = -s["d"]
+        lam = s["lam"]
+
+        mp = bsdf.gather_params(scene.materials, hit["mat"], lam, hit["uv"])
+        u_lobe = jax.random.uniform(k_lobe, (N,))
+        u_sq = jax.random.uniform(k_sq, (N, 2))
+        wi, sample_ok, lam2 = bsdf.sample(mp, wo, hit["ns"], hit["backface"],
+                                          lam, u_lobe, u_sq)
+        mp2 = bsdf.gather_params(scene.materials, hit["mat"], lam2, hit["uv"])
+
+        # lights terminate with unconditional emission
+        # (reference ``direct_light.rs:22-25``)
+        emit = trace.emitted(scene, hit["mat"], lam, hit["uv"], hit["backface"])
+        add_emit = alive & ~sample_ok
+        radiance = s["radiance"] + jnp.where(add_emit[..., None],
+                                             s["gathered"] * emit, 0.0)
+        alive = alive & sample_ok
+
+        # non-specular: single NEE then stop (reference ``direct_light.rs:27-36``)
+        nee = common.shadow_rays(scene, mp2, wo, s["gathered"], hit, lam2, k_nee)
+        stop_nee = alive & ~mp["is_specular"]
+        radiance = radiance + jnp.where(stop_nee[..., None], nee, 0.0)
+        alive = alive & mp["is_specular"]
+
+        # specular continuation
+        ro = geo.offset_ray_origin(hit["p"], hit["err"], hit["ng"], wi)
+        p_sct = bsdf.pdf(mp2, wo, wi, hit["ng"], hit["ns"], lam2)
+        alive = alive & (p_sct > 0.0)
+        f_val = bsdf.f(mp2, wo, wi, hit["ng"], hit["ns"], hit["backface"],
+                       lam2, RADIANCE)
+        cosine = bsdf.shading_cosine(mp2, wi, hit["ns"])
+        gathered = s["gathered"] * f_val * (cosine / jnp.maximum(p_sct, _TINY))[..., None]
+
+        return {
+            "o": jnp.where(alive[..., None], ro, s["o"]),
+            "d": jnp.where(alive[..., None], wi, s["d"]),
+            "lam": jnp.where(alive[..., None], lam2, lam),
+            "radiance": radiance,
+            "gathered": jnp.where(alive[..., None], gathered, s["gathered"]),
+            "alive": alive,
+            "depth": s["depth"] + jnp.where(alive, 1, 0),
+            "bounce": s["bounce"] + 1,
+            "key": key,
+        }
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["radiance"], out["lam"], out["depth"] + 1

@@ -1,0 +1,116 @@
+"""Unidirectional path tracer with NEE + MIS and Russian roulette.
+
+Wavefront re-design of reference ``src/tracer/integrator/path_trace.rs``:
+the per-ray ``while let Some(hit)`` recursion becomes a single
+``lax.while_loop`` over a fixed-shape SoA path state with an alive mask —
+every lane advances one bounce per iteration, dead lanes are masked.
+Specular chains, emitter double-count suppression via ``last_specular``,
+dispersion termination, and RR survival `luminance(gathered)/delta` all
+match the reference semantics.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lumo_tpu.bsdf import eval as bsdf
+from lumo_tpu.color import space
+from lumo_tpu.config import RADIANCE
+from lumo_tpu.geometry import intersect as geo
+from lumo_tpu.integrators import common
+from lumo_tpu.scene import trace
+
+_TINY = 1e-30
+
+RR_DEPTH = 5          # reference ``path_trace.rs:3``
+MAX_DEPTH = 64        # hard wavefront bound (RR terminates long before)
+
+
+def integrate(scene, o, d, lam, key, delta=1.0, max_depth=MAX_DEPTH):
+    """Trace a wavefront of N camera rays to completion.
+
+    o, d: (N, 3); lam: (N, 4) hero wavelengths; delta: RR threshold.
+    Returns (radiance (N, 4), lam_out (N, 4), depth (N,)).
+    """
+    N = o.shape[0]
+    dt = o.dtype
+    state = {
+        "o": o, "d": d, "lam": lam,
+        "radiance": jnp.zeros((N, 4), dt),
+        "gathered": jnp.ones((N, 4), dt),
+        "alive": jnp.ones((N,), bool),
+        "last_specular": jnp.ones((N,), bool),
+        "depth": jnp.zeros((N,), jnp.int32),
+        "bounce": jnp.zeros((), jnp.int32),
+        "key": key,
+    }
+
+    def cond(s):
+        return jnp.any(s["alive"]) & (s["bounce"] < max_depth)
+
+    def body(s):
+        key, k_nee, k_lobe, k_sq, k_rr = jax.random.split(s["key"], 5)
+        hit = trace.intersect(scene, s["o"], s["d"])
+        alive = s["alive"] & hit["valid"]
+        wo = -s["d"]
+        lam = s["lam"]
+
+        # gathered *= transmittance (identity until media land)
+        mp = bsdf.gather_params(scene.materials, hit["mat"], lam, hit["uv"])
+
+        # sample the BSDF (may terminate hero wavelengths on dispersion)
+        u_lobe = jax.random.uniform(k_lobe, (N,))
+        u_sq = jax.random.uniform(k_sq, (N, 2))
+        wi, sample_ok, lam2 = bsdf.sample(mp, wo, hit["ns"], hit["backface"],
+                                          lam, u_lobe, u_sq)
+        # re-gather with the (possibly terminated) wavelengths for eval
+        mp2 = bsdf.gather_params(scene.materials, hit["mat"], lam2, hit["uv"])
+
+        # emitter hit: lights/blank have no BSDF → path ends here; emission
+        # only counted after specular chains (reference ``path_trace.rs:22-28``)
+        emit = trace.emitted(scene, hit["mat"], lam, hit["uv"], hit["backface"])
+        add_emit = alive & ~sample_ok & s["last_specular"]
+        radiance = s["radiance"] + jnp.where(add_emit[..., None],
+                                             s["gathered"] * emit, 0.0)
+        alive = alive & sample_ok
+
+        # NEE at non-delta vertices (reference ``path_trace.rs:30-40``)
+        nee = common.shadow_rays(scene, mp2, wo, s["gathered"], hit, lam2, k_nee)
+        do_nee = alive & ~mp["is_delta"]
+        radiance = radiance + jnp.where(do_nee[..., None], nee, 0.0)
+
+        # continue the path
+        ro = geo.offset_ray_origin(hit["p"], hit["err"], hit["ng"], wi)
+        p_sct = bsdf.pdf(mp2, wo, wi, hit["ng"], hit["ns"], lam2)
+        alive = alive & (p_sct > 0.0)
+        f_val = bsdf.f(mp2, wo, wi, hit["ng"], hit["ns"], hit["backface"],
+                       lam2, RADIANCE)
+        cosine = bsdf.shading_cosine(mp2, wi, hit["ns"])
+        gathered = s["gathered"] * f_val * (cosine / jnp.maximum(p_sct, _TINY))[..., None]
+
+        # russian roulette after RR_DEPTH (reference ``path_trace.rs:65-72``)
+        lum = space.luminance(gathered, lam2)
+        rr_prob = jnp.minimum(lum / delta, 1.0)
+        u_rr = jax.random.uniform(k_rr, (N,))
+        do_rr = s["depth"] >= RR_DEPTH
+        killed = do_rr & (u_rr > rr_prob)
+        alive = alive & ~killed
+        gathered = jnp.where((do_rr & alive)[..., None],
+                             gathered / jnp.maximum(rr_prob[..., None], _TINY),
+                             gathered)
+
+        return {
+            "o": jnp.where(alive[..., None], ro, s["o"]),
+            "d": jnp.where(alive[..., None], wi, s["d"]),
+            "lam": jnp.where(alive[..., None], lam2, lam),
+            "radiance": radiance,
+            "gathered": jnp.where(alive[..., None], gathered, s["gathered"]),
+            "alive": alive,
+            "last_specular": jnp.where(alive, mp["is_specular"], s["last_specular"]),
+            "depth": s["depth"] + jnp.where(alive, 1, 0),
+            "bounce": s["bounce"] + 1,
+            "key": key,
+        }
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["radiance"], out["lam"], out["depth"]

@@ -1,0 +1,273 @@
+"""Scene building: host-side accumulation → flat device SoA arrays.
+
+The reference stores polymorphic ``Box<dyn Object>`` trees
+(``src/tracer/scene.rs``); the TPU design flattens everything to two
+primitive families (triangles, spheres) in SoA layout at build time —
+rectangles, cubes and instanced meshes are baked into world-space
+triangles — so device code is pure dense array math.  Lights get a
+Walker alias table (reference ``bvh.rs:104-191``) built host-side for
+O(1) power-proportional sampling on device.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lumo_tpu.scene.materials import LIGHT, Material, pack_materials
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneData:
+    """Device scene: everything jit-traceable. Primitive ids are global:
+    [0, T) triangles, [T, T+S) spheres."""
+    # triangles (T, ...)
+    tri_a: Any
+    tri_b: Any
+    tri_c: Any
+    tri_na: Any
+    tri_nb: Any
+    tri_nc: Any
+    tri_uva: Any
+    tri_uvb: Any
+    tri_uvc: Any
+    tri_mat: Any
+    # spheres (S, ...)
+    sph_center: Any
+    sph_radius: Any
+    sph_mat: Any
+    # lights
+    light_prim: Any       # (L,) global prim id
+    light_pdf: Any        # (L,) sampling probability
+    alias_p: Any          # (L,) alias acceptance threshold
+    alias_idx: Any        # (L,) alias target
+    prim_light: Any       # (P,) light index per prim, -1 if not a light
+    # material table (dict of arrays)
+    materials: Any
+    # world bounds (2, 3)
+    bounds: Any
+    # static metadata
+    n_tris: int = dataclasses.field(metadata=dict(static=True))
+    n_spheres: int = dataclasses.field(metadata=dict(static=True))
+    n_lights: int = dataclasses.field(metadata=dict(static=True))
+    n_shadow_rays: int = dataclasses.field(metadata=dict(static=True))
+
+
+class SceneBuilder:
+    """Accumulates primitives host-side; ``build()`` packs the device scene.
+
+    Mirrors the reference's ``Scene::{add, add_light, build}`` API surface
+    (``scene.rs:33-77``) but flattens to SoA.
+    """
+
+    def __init__(self):
+        self._tris = []        # list of (a,b,c,na,nb,nc,uva,uvb,uvc, mat_idx, is_light)
+        self._spheres = []     # list of (center, radius, mat_idx, is_light)
+        self._materials: list[Material] = []
+        self.environment: Optional[Material] = None
+        self.medium = None
+
+    # ---- materials ----
+    def material(self, mat: Material) -> int:
+        self._materials.append(mat)
+        return len(self._materials) - 1
+
+    # ---- primitives ----
+    def add_triangles(self, vertices, faces, mat: Material | int,
+                      normals=None, vertex_normal_idx=None,
+                      uvs=None, uv_idx=None, transform=None):
+        """Add a triangle soup/mesh. vertices (V, 3); faces (F, 3) int.
+        normals/uvs optionally indexed per face corner."""
+        mid = mat if isinstance(mat, int) else self.material(mat)
+        is_light = self._materials[mid].kind == LIGHT
+        v = np.asarray(vertices, np.float64)
+        if transform is not None:
+            m = np.asarray(transform, np.float64)
+            v = v @ m[:3, :3].T + m[:3, 3]
+        f = np.asarray(faces, np.int64)
+        a, b, c = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+        zero3 = np.zeros_like(a)
+        if normals is not None and vertex_normal_idx is not None:
+            n = np.asarray(normals, np.float64)
+            if transform is not None:
+                m = np.asarray(transform, np.float64)
+                nm = np.linalg.inv(m[:3, :3]).T
+                n = n @ nm.T
+                norms = np.linalg.norm(n, axis=-1, keepdims=True)
+                n = n / np.maximum(norms, 1e-30)
+            ni = np.asarray(vertex_normal_idx, np.int64)
+            na, nb, nc = n[ni[:, 0]], n[ni[:, 1]], n[ni[:, 2]]
+        else:
+            na = nb = nc = zero3
+        if uvs is not None and uv_idx is not None:
+            t = np.asarray(uvs, np.float64)
+            ti = np.asarray(uv_idx, np.int64)
+            uva, uvb, uvc = t[ti[:, 0]], t[ti[:, 1]], t[ti[:, 2]]
+        else:
+            # reference default: (0,0), (1,0), (1,1) (``triangle.rs:160-166``)
+            uva = np.tile([0.0, 0.0], (len(a), 1))
+            uvb = np.tile([1.0, 0.0], (len(a), 1))
+            uvc = np.tile([1.0, 1.0], (len(a), 1))
+        # cull degenerates (reference ``triangle_mesh.rs:57-97``)
+        area2 = np.linalg.norm(np.cross(b - a, c - a), axis=-1)
+        keep = area2 > 1e-20
+        for arrs in [(a, b, c, na, nb, nc, uva, uvb, uvc)]:
+            a, b, c, na, nb, nc, uva, uvb, uvc = [x[keep] for x in arrs]
+        for i in range(len(a)):
+            self._tris.append((a[i], b[i], c[i], na[i], nb[i], nc[i],
+                               uva[i], uvb[i], uvc[i], mid, is_light))
+        return mid
+
+    def add_rectangle(self, p0, p1, p2, mat: Material | int):
+        """Rectangle abcd from three corners (b - a - c winding like the
+        reference ``rectangle.rs:43-69``); d = b + c - a... reference uses
+        d = p0 + (p2 - p1). Two triangles with basis uvs."""
+        p0, p1, p2 = [np.asarray(p, np.float64) for p in (p0, p1, p2)]
+        p3 = p0 + (p2 - p1)
+        verts = np.stack([p0, p1, p2, p3])
+        faces = np.array([[0, 1, 2], [0, 2, 3]])
+        uvs = np.array([[0.0, 0.0], [0.0, 1.0], [1.0, 1.0], [1.0, 0.0]])
+        uv_idx = faces
+        return self.add_triangles(verts, faces, mat, uvs=uvs, uv_idx=uv_idx)
+
+    def add_box(self, mat: Material | int, transform=None):
+        """Unit cube [0,1]^3 as 12 triangles (reference ``cube.rs:9-57``),
+        optionally transformed."""
+        corners = np.array([[x, y, z] for x in (0, 1) for y in (0, 1) for z in (0, 1)],
+                           dtype=np.float64)
+        quads = [  # (corner indices, CCW seen from outside)
+            (0, 1, 3, 2), (4, 6, 7, 5),  # x- x+
+            (0, 4, 5, 1), (2, 3, 7, 6),  # y- y+
+            (0, 2, 6, 4), (1, 5, 7, 3),  # z- z+
+        ]
+        faces = []
+        for q in quads:
+            faces.append([q[0], q[1], q[2]])
+            faces.append([q[0], q[2], q[3]])
+        return self.add_triangles(corners, np.array(faces), mat, transform=transform)
+
+    def add_sphere(self, center, radius, mat: Material | int):
+        mid = mat if isinstance(mat, int) else self.material(mat)
+        is_light = self._materials[mid].kind == LIGHT
+        self._spheres.append((np.asarray(center, np.float64), float(radius),
+                              mid, is_light))
+        return mid
+
+    def set_environment_map(self, mat: Material):
+        """Environment light: realized at build as a giant emissive sphere
+        enclosing the scene (reference ``scene.rs:38-45``)."""
+        self.environment = mat
+
+    # ---- build ----
+    def build(self, dtype=np.float32) -> SceneData:
+        if self.environment is not None:
+            lo, hi = self._host_bounds()
+            center = 0.5 * (lo + hi)
+            radius = float(np.linalg.norm(center - lo))
+            self.add_sphere(center, max(radius, 1e-3), self.environment)
+
+        T = len(self._tris)
+        S = len(self._spheres)
+        P = T + S
+
+        def tri_field(i, d=3):
+            if T == 0:
+                return np.zeros((0, d))
+            return np.stack([t[i] for t in self._tris])
+
+        tri = {k: tri_field(i) for i, k in enumerate(
+            ["a", "b", "c", "na", "nb", "nc"])}
+        triuv = {k: tri_field(i, 2) for i, k in zip([6, 7, 8], ["uva", "uvb", "uvc"])}
+        tri_mat = np.array([t[9] for t in self._tris], np.int32) if T else np.zeros(0, np.int32)
+
+        sph_center = (np.stack([s[0] for s in self._spheres]) if S
+                      else np.zeros((0, 3)))
+        sph_radius = np.array([s[1] for s in self._spheres]) if S else np.zeros(0)
+        sph_mat = np.array([s[2] for s in self._spheres], np.int32) if S else np.zeros(0, np.int32)
+
+        # ---- lights + alias table ----
+        light_prims, powers = [], []
+        prim_light = np.full(max(P, 1), -1, np.int32)
+        for i, t in enumerate(self._tris):
+            if t[10]:
+                area = 0.5 * np.linalg.norm(np.cross(t[1] - t[0], t[2] - t[0]))
+                prim_light[i] = len(light_prims)
+                light_prims.append(i)
+                powers.append(area * self._materials[t[9]].mean_power())
+        for j, s in enumerate(self._spheres):
+            if s[3]:
+                area = 4.0 * np.pi * s[1] ** 2
+                prim_light[T + j] = len(light_prims)
+                light_prims.append(T + j)
+                powers.append(area * self._materials[s[2]].mean_power())
+        L = len(light_prims)
+        if L > 0:
+            pdf, alias_p, alias_idx = _build_alias(np.asarray(powers, np.float64))
+        else:
+            pdf = alias_p = np.zeros(0)
+            alias_idx = np.zeros(0, np.int64)
+
+        lo, hi = self._host_bounds()
+
+        ju = lambda x: jnp.asarray(x)
+        jf = lambda x: jnp.asarray(np.asarray(x), dtype)
+        return SceneData(
+            tri_a=jf(tri["a"]), tri_b=jf(tri["b"]), tri_c=jf(tri["c"]),
+            tri_na=jf(tri["na"]), tri_nb=jf(tri["nb"]), tri_nc=jf(tri["nc"]),
+            tri_uva=jf(triuv["uva"]), tri_uvb=jf(triuv["uvb"]), tri_uvc=jf(triuv["uvc"]),
+            tri_mat=ju(tri_mat),
+            sph_center=jf(sph_center), sph_radius=jf(sph_radius), sph_mat=ju(sph_mat),
+            light_prim=ju(np.asarray(light_prims, np.int32)),
+            light_pdf=jf(pdf), alias_p=jf(alias_p),
+            alias_idx=ju(np.asarray(alias_idx, np.int32)),
+            prim_light=ju(prim_light),
+            materials={k: (jf(v) if v.dtype in (np.float32, np.float64) else ju(v))
+                       for k, v in pack_materials(self._materials).items()},
+            bounds=jf(np.stack([lo, hi])),
+            n_tris=T, n_spheres=S, n_lights=L,
+            n_shadow_rays=max(1, int(np.log2(max(L, 1))) if L > 1 else 1),
+        )
+
+    def _host_bounds(self):
+        lo = np.full(3, np.inf)
+        hi = np.full(3, -np.inf)
+        for t in self._tris:
+            for v in t[:3]:
+                lo = np.minimum(lo, v)
+                hi = np.maximum(hi, v)
+        for s in self._spheres:
+            lo = np.minimum(lo, s[0] - s[1])
+            hi = np.maximum(hi, s[0] + s[1])
+        if not np.isfinite(lo).all():
+            lo, hi = -np.ones(3), np.ones(3)
+        return lo, hi
+
+
+def _build_alias(powers: np.ndarray):
+    """Walker alias table (host, numpy). Returns (pdf, accept_p, alias)."""
+    n = len(powers)
+    total = powers.sum()
+    if total <= 0.0:
+        pdf = np.full(n, 1.0 / n)
+    else:
+        pdf = powers / total
+    accept = np.ones(n)
+    alias = np.arange(n)
+    scaled = pdf * n
+    small = [i for i in range(n) if scaled[i] < 1.0]
+    large = [i for i in range(n) if scaled[i] >= 1.0]
+    scaled = scaled.copy()
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        accept[s] = scaled[s]
+        alias[s] = l
+        scaled[l] = scaled[l] + scaled[s] - 1.0
+        (large if scaled[l] >= 1.0 else small).append(l)
+    for i in small + large:
+        accept[i] = 1.0
+    return pdf, accept, alias
