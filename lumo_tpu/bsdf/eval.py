@@ -20,7 +20,7 @@ from lumo_tpu.bsdf import microfacet as mf
 from lumo_tpu.color import dense, uplift, wavelength
 from lumo_tpu.config import RADIANCE
 from lumo_tpu.geometry import onb
-from lumo_tpu.geometry.onb import dot, normalize
+from lumo_tpu.geometry.onb import dot, normalize, safe_sqrt
 from lumo_tpu.sampling import maps
 from lumo_tpu.scene.materials import (BLANK, LAMBERTIAN, LIGHT, MF_CONDUCTOR,
                                       MF_DIELECTRIC, MF_DIFFUSE, VOLUMETRIC)
@@ -80,7 +80,7 @@ def _refract(eta, wo, no):
     n = jnp.where(inside[..., None], -no, no)
     sin2_to = 1.0 - cos_to * cos_to
     sin2_ti = sin2_to / eta_ratio ** 2
-    cos_ti = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_ti))
+    cos_ti = safe_sqrt(1.0 - jnp.minimum(sin2_ti, 1.0))
     wi = -wo / eta_ratio[..., None] + (cos_to / eta_ratio - cos_ti)[..., None] * n
     valid = ~onb.same_hemisphere(wi, wo) & (sin2_ti < 1.0)
     return wi, valid

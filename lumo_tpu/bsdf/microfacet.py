@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from lumo_tpu.geometry import onb
-from lumo_tpu.geometry.onb import dot, normalize
+from lumo_tpu.geometry.onb import dot, normalize, safe_sqrt
 
 PI = jnp.pi
 _TINY = 1e-30
@@ -37,7 +37,7 @@ def _lambda_ggx(w, alpha):
     cp = onb.cos_phi(w)
     sp = onb.sin_phi(w)
     a2 = (alpha[..., 0] * cp) ** 2 + (alpha[..., 1] * sp) ** 2
-    lam = (jnp.sqrt(jnp.maximum(0.0, 1.0 + a2 * t2)) - 1.0) / 2.0
+    lam = (safe_sqrt(1.0 + a2 * t2) - 1.0) / 2.0
     return jnp.where(jnp.isfinite(t2), lam, 0.0)
 
 
@@ -74,13 +74,13 @@ def sample_vndf(wo, alpha, u):
                     normalize(jnp.cross(w_st, zaxis), eps=_TINY))
     v_b = jnp.cross(u_b, w_st)
 
-    r = jnp.sqrt(u[..., 0])
+    r = safe_sqrt(u[..., 0])
     theta = 2.0 * PI * u[..., 1]
     x = r * jnp.cos(theta)
-    h = jnp.sqrt(jnp.maximum(0.0, 1.0 - x * x))
+    h = safe_sqrt(1.0 - x * x)
     lerp = (1.0 + w_st[..., 2]) / 2.0
     y = (1.0 - lerp) * h + lerp * r * jnp.sin(theta)
-    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - x * x - y * y))
+    z = safe_sqrt(1.0 - x * x - y * y)
 
     wm = x[..., None] * u_b + y[..., None] * v_b + z[..., None] * w_st
     wh = jnp.stack([alpha[..., 0] * wm[..., 0],
@@ -109,7 +109,7 @@ def fr_real(cos_o_signed, eta):
     sin2_o = 1.0 - cos_o * cos_o
     sin2_i = sin2_o / (eta_r * eta_r)
     tir = sin2_i >= 1.0
-    cos_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.minimum(sin2_i, 1.0)))
+    cos_i = safe_sqrt(1.0 - jnp.minimum(sin2_i, 1.0))
     r_par = (eta_r * cos_o - cos_i) / jnp.maximum(eta_r * cos_o + cos_i, _TINY)
     r_per = (cos_o - eta_r * cos_i) / jnp.maximum(cos_o + eta_r * cos_i, _TINY)
     f = (r_par ** 2 + r_per ** 2) / 2.0
@@ -117,12 +117,12 @@ def fr_real(cos_o_signed, eta):
 
 
 def _csqrt(re, im):
-    """Principal complex sqrt from real/imag parts."""
-    r = jnp.sqrt(re * re + im * im)
-    a = jnp.sqrt(jnp.maximum((r + re) / 2.0, 0.0))
-    b = jnp.sign(im) * jnp.sqrt(jnp.maximum((r - re) / 2.0, 0.0))
+    """Principal complex sqrt from real/imag parts (gradient-safe)."""
+    r = safe_sqrt(re * re + im * im)
+    a = safe_sqrt((r + re) / 2.0)
+    b = jnp.sign(im) * safe_sqrt((r - re) / 2.0)
     # im == 0, re < 0: sqrt is purely imaginary positive
-    b = jnp.where((im == 0.0) & (re < 0.0), jnp.sqrt(jnp.maximum(-re, 0.0)), b)
+    b = jnp.where((im == 0.0) & (re < 0.0), safe_sqrt(-re), b)
     return a, b
 
 
@@ -160,11 +160,15 @@ def fr_complex(cos_o, eta, k):
 def fresnel(cos_o_signed, eta, k):
     """Dispatch: conductor when k > 0, dielectric otherwise, 0 when
     eta == 0 (reference ``microfacet.rs:231-243``).  All args (..., 4)
-    per-wavelength."""
-    f = jnp.where(k == 0.0,
-                  jnp.where(eta == 0.0, 0.0, fr_real(cos_o_signed, jnp.maximum(eta, _TINY))),
-                  fr_complex(cos_o_signed, eta, jnp.maximum(k, _TINY)))
-    return f
+    per-wavelength.  Unselected branches get sanitized inputs so their
+    (discarded) gradients stay finite."""
+    is_cond = k > 0.0
+    eta_d = jnp.where(is_cond | (eta == 0.0), 1.5, eta)
+    f_d = fr_real(cos_o_signed, eta_d)
+    eta_c = jnp.where(is_cond, eta, 1.0)
+    k_c = jnp.where(is_cond, k, 1.0)
+    f_c = fr_complex(cos_o_signed, eta_c, k_c)
+    return jnp.where(is_cond, f_c, jnp.where(eta == 0.0, 0.0, f_d))
 
 
 def f_schlick(f0, f90, cos_theta):

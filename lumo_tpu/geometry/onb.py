@@ -9,8 +9,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def safe_sqrt(x, eps=1e-24):
+    """sqrt with a gradient-safe floor: sqrt'(0) = inf would poison
+    reverse-mode AD through masked branches (double-where problem)."""
+    return jnp.sqrt(jnp.maximum(x, eps))
+
+
 def normalize(v, eps=0.0):
-    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    n = safe_sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
     return v / jnp.maximum(n, eps if eps else jnp.finfo(v.dtype).tiny)
 
 
@@ -60,7 +66,7 @@ def sin2_theta(w):
 
 
 def sin_theta(w):
-    return jnp.sqrt(sin2_theta(w))
+    return safe_sqrt(sin2_theta(w))
 
 
 def tan2_theta(w):

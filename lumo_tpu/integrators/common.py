@@ -29,18 +29,23 @@ def mis_weight_and_contrib(scene, mp, wo, wi, hit, light_hit, lam,
                            p_lig, p_sct, light_sampled):
     """The `mis_sample` term (reference ``integrator.rs:139-184``):
     f · Tr · Le · |cos| · w / p  with power-2 heuristic."""
-    ok = (p_lig > 0.0) & (p_sct > 0.0)
+    ok = (p_lig > 0.0) & (p_sct > 0.0) & jnp.isfinite(p_lig) & jnp.isfinite(p_sct)
+    p_lig = jnp.where(ok, p_lig, 1.0)
+    p_sct = jnp.where(ok, p_sct, 1.0)
     f_val = bsdf.f(mp, wo, wi, hit["ng"], hit["ns"], hit["backface"], lam, RADIANCE)
+    f_val = jnp.where(ok[..., None], f_val, 0.0)
     # medium hits cancel pdf (not yet: surface only)
     tr = trace.transmittance(scene, lam, light_hit["t"])
     emit = trace.emitted(scene, light_hit["mat"], lam,
                          light_hit["uv"], light_hit["backface"])
     cos = bsdf.shading_cosine(mp, wi, hit["ns"])
-    h2 = lambda p: p * p
-    denom = h2(p_lig) + h2(p_sct)
-    w = jnp.where(light_sampled, h2(p_lig), h2(p_sct)) / jnp.maximum(denom, _TINY)
-    p_denom = jnp.where(light_sampled, p_lig, p_sct)
-    contrib = f_val * tr * emit * (cos * w / jnp.maximum(p_denom, _TINY))[..., None]
+    # power-2 heuristic in overflow-safe ratio form:
+    # w_sel = p_sel² / (p_sel² + p_oth²) = 1 / (1 + (p_oth/p_sel)²)
+    p_sel = jnp.where(light_sampled, p_lig, p_sct)
+    p_oth = jnp.where(light_sampled, p_sct, p_lig)
+    ratio = jnp.clip(p_oth / p_sel, 0.0, 1e18)
+    w = 1.0 / (1.0 + ratio * ratio)
+    contrib = f_val * tr * emit * (cos * w / p_sel)[..., None]
     return jnp.where(ok[..., None], contrib, 0.0)
 
 

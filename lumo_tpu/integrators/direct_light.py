@@ -68,11 +68,15 @@ def integrate(scene, o, d, lam, key, max_depth=MAX_RECURSION):
         # specular continuation
         ro = geo.offset_ray_origin(hit["p"], hit["err"], hit["ng"], wi)
         p_sct = bsdf.pdf(mp2, wo, wi, hit["ng"], hit["ns"], lam2)
-        alive = alive & (p_sct > 0.0)
+        alive = alive & (p_sct > 0.0) & jnp.isfinite(p_sct)
+        # sanitize the divisor BEFORE masking: dead lanes otherwise compute
+        # f/0 whose (discarded) gradients are NaN through the jnp.where
+        p_safe = jnp.where(alive, p_sct, 1.0)
         f_val = bsdf.f(mp2, wo, wi, hit["ng"], hit["ns"], hit["backface"],
                        lam2, RADIANCE)
+        f_val = jnp.where(alive[..., None], f_val, 0.0)
         cosine = bsdf.shading_cosine(mp2, wi, hit["ns"])
-        gathered = s["gathered"] * f_val * (cosine / jnp.maximum(p_sct, _TINY))[..., None]
+        gathered = s["gathered"] * f_val * (cosine / p_safe)[..., None]
 
         return {
             "o": jnp.where(alive[..., None], ro, s["o"]),

@@ -26,10 +26,15 @@ RR_DEPTH = 5          # reference ``path_trace.rs:3``
 MAX_DEPTH = 64        # hard wavefront bound (RR terminates long before)
 
 
-def integrate(scene, o, d, lam, key, delta=1.0, max_depth=MAX_DEPTH):
+def integrate(scene, o, d, lam, key, delta=1.0, max_depth=MAX_DEPTH,
+              fixed_depth=None):
     """Trace a wavefront of N camera rays to completion.
 
     o, d: (N, 3); lam: (N, 4) hero wavelengths; delta: RR threshold.
+    ``fixed_depth``: run exactly that many bounces under ``lax.scan``
+    instead of ``lax.while_loop`` — required for reverse-mode autodiff
+    (differentiable rendering); the while_loop path is faster for
+    forward-only rendering because it exits when every lane is dead.
     Returns (radiance (N, 4), lam_out (N, 4), depth (N,)).
     """
     N = o.shape[0]
@@ -82,11 +87,15 @@ def integrate(scene, o, d, lam, key, delta=1.0, max_depth=MAX_DEPTH):
         # continue the path
         ro = geo.offset_ray_origin(hit["p"], hit["err"], hit["ng"], wi)
         p_sct = bsdf.pdf(mp2, wo, wi, hit["ng"], hit["ns"], lam2)
-        alive = alive & (p_sct > 0.0)
+        alive = alive & (p_sct > 0.0) & jnp.isfinite(p_sct)
+        # sanitize the divisor BEFORE masking: dead lanes otherwise compute
+        # f/0 whose (discarded) gradients are NaN through the jnp.where
+        p_safe = jnp.where(alive, p_sct, 1.0)
         f_val = bsdf.f(mp2, wo, wi, hit["ng"], hit["ns"], hit["backface"],
                        lam2, RADIANCE)
+        f_val = jnp.where(alive[..., None], f_val, 0.0)
         cosine = bsdf.shading_cosine(mp2, wi, hit["ns"])
-        gathered = s["gathered"] * f_val * (cosine / jnp.maximum(p_sct, _TINY))[..., None]
+        gathered = s["gathered"] * f_val * (cosine / p_safe)[..., None]
 
         # russian roulette after RR_DEPTH (reference ``path_trace.rs:65-72``)
         lum = space.luminance(gathered, lam2)
@@ -95,9 +104,10 @@ def integrate(scene, o, d, lam, key, delta=1.0, max_depth=MAX_DEPTH):
         do_rr = s["depth"] >= RR_DEPTH
         killed = do_rr & (u_rr > rr_prob)
         alive = alive & ~killed
-        gathered = jnp.where((do_rr & alive)[..., None],
-                             gathered / jnp.maximum(rr_prob[..., None], _TINY),
-                             gathered)
+        # sanitized divisor: unselected lanes must not compute /1e-30
+        # (overflow → inf → NaN cotangents through the where)
+        rr_div = jnp.where(do_rr & alive, jnp.maximum(rr_prob, _TINY), 1.0)
+        gathered = gathered / jax.lax.stop_gradient(rr_div)[..., None]
 
         return {
             "o": jnp.where(alive[..., None], ro, s["o"]),
@@ -112,5 +122,9 @@ def integrate(scene, o, d, lam, key, delta=1.0, max_depth=MAX_DEPTH):
             "key": key,
         }
 
-    out = jax.lax.while_loop(cond, body, state)
+    if fixed_depth is None:
+        out = jax.lax.while_loop(cond, body, state)
+    else:
+        out, _ = jax.lax.scan(lambda s, _: (body(s), None), state, None,
+                              length=fixed_depth)
     return out["radiance"], out["lam"], out["depth"]

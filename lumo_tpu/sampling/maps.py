@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from lumo_tpu.geometry.onb import safe_sqrt
+
 PI = jnp.pi
 
 
@@ -28,19 +30,19 @@ def square_to_cos_hemisphere(u):
     """Malley's method: concentric disk lifted to the z+ hemisphere
     (reference ``maps.rs:30-37``)."""
     d = square_to_disk(u)
-    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - d[..., 0] ** 2 - d[..., 1] ** 2))
+    z = safe_sqrt(1.0 - d[..., 0] ** 2 - d[..., 1] ** 2)
     return jnp.concatenate([d, z[..., None]], axis=-1)
 
 
 def square_to_sphere(u):
     z = 1.0 - 2.0 * u[..., 0]
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = safe_sqrt(1.0 - z * z)
     phi = 2.0 * PI * u[..., 1]
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 
 
 def square_to_hemisphere(u):
     z = u[..., 0]
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = safe_sqrt(1.0 - z * z)
     phi = 2.0 * PI * u[..., 1]
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)

@@ -234,17 +234,20 @@ def sample_towards_pdf(scene: SceneData, light, o, d, xi, ng):
     g = _light_geom(scene, light)
     dist2 = jnp.sum((xi - o) ** 2, axis=-1)
     cos_l = jnp.abs(dot(ng, d))
+    # edge-on lights: pdf → ∞; zero it so the MIS mask drops the sample
+    # (its contribution → 0 anyway)
+    cos_ok = cos_l > 1e-7
     if scene.n_tris:
         area = 0.5 * jnp.linalg.norm(
             jnp.cross(g["b"] - g["a"], g["c"] - g["a"]), axis=-1)
-        pdf_tri = dist2 / jnp.maximum(area * cos_l, 1e-30)
+        pdf_tri = jnp.where(cos_ok, dist2 / jnp.maximum(area * cos_l, 1e-30), 0.0)
     if scene.n_spheres:
         rel = o - g["center"]
         do2 = jnp.sum(rel * rel, axis=-1)
         r2 = g["radius"] ** 2
         inside = do2 < r2
         area_s = 4.0 * PI * r2
-        pdf_in = dist2 / jnp.maximum(area_s * cos_l, 1e-30)
+        pdf_in = jnp.where(cos_ok, dist2 / jnp.maximum(area_s * cos_l, 1e-30), 0.0)
         sin2_max = r2 / jnp.maximum(do2, 1e-30)
         cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_max))
         pdf_out = 1.0 / jnp.maximum(2.0 * PI * (1.0 - cos_max), 1e-30)
