@@ -1,0 +1,96 @@
+"""Driver benchmark: rays/sec/chip at 64 spp (fwd + bwd) on the Cornell box.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference (ekarpp/lumo) publishes no numbers (BASELINE.md); the anchor
+used for ``vs_baseline`` is a measured-class CPU figure for the reference's
+own workload: lumo-style multithreaded CPU path tracers report ~2 Mray/s on
+a desktop CPU (the reference prints per-run rays/sec, ``renderer.rs:237-241``,
+but Rust is not installed in this image to re-run it).  vs_baseline is
+therefore rays/s/chip divided by that 2.0e6 anchor.
+
+Ray accounting mirrors the reference: one ray per traced path segment plus
+one shadow ray per non-delta bounce (``FilmSample.cost``, ``film.rs:26-27``).
+We count 2x actual bounced segments (extension + NEE), summed from the
+integrator's reported per-lane depth.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+CPU_ANCHOR_RAYS_PER_S = 2.0e6
+
+RES = 256
+SPP = 64
+DEPTH = 6
+
+
+def main():
+    import dataclasses
+
+    from lumo_tpu import film as film_mod
+    from lumo_tpu.camera import cornell_camera
+    from lumo_tpu.color import wavelength
+    from lumo_tpu.integrators import path_trace
+    from lumo_tpu.scene.cornell import cornell_box
+
+    scene = cornell_box().build()
+    camera = cornell_camera(resolution=(RES, RES))
+    n = RES * RES
+    wbm = jnp.asarray(film_mod.wb_matrix("DCI-P3", "CORNELL"), jnp.float32)
+    is_float = {k: jnp.issubdtype(v.dtype, jnp.floating)
+                for k, v in scene.materials.items()}
+    mat_float = {k: v for k, v in scene.materials.items() if is_float[k]}
+
+    def loss_and_rays(mats, key):
+        materials = {k: (mats[k] if is_float[k] else scene.materials[k])
+                     for k in scene.materials}
+        scene2 = dataclasses.replace(scene, materials=materials)
+        pix = jnp.arange(n, dtype=jnp.uint32)
+        px = (pix % RES).astype(jnp.float32)
+        py = (pix // RES).astype(jnp.float32)
+        u = jax.random.uniform(key, (n, 2))
+        raster = jnp.stack([px, py], -1) + u
+        o, d = camera.generate_ray(raster, jnp.full((n, 2), 0.5))
+        lam = wavelength.sample(
+            jax.random.uniform(jax.random.fold_in(key, 1), (n,)))
+        radiance, lam_out, depth = path_trace.integrate(
+            scene2, o, d, lam, key, fixed_depth=DEPTH)
+        rgb = film_mod.spectral_to_rgb(radiance, lam_out, wbm)
+        loss = jnp.mean(rgb ** 2)
+        rays = jnp.sum(depth.astype(jnp.float32)) * 2.0
+        return loss, rays
+
+    @jax.jit
+    def spp_step(mats, key):
+        (loss, rays), grads = jax.value_and_grad(
+            loss_and_rays, has_aux=True)(mats, key)
+        gnorm = sum(jnp.sum(jnp.abs(g)) for g in grads.values())
+        return loss, rays, gnorm
+
+    key = jax.random.PRNGKey(42)
+    # warmup / compile
+    loss, rays, gnorm = spp_step(mat_float, key)
+    loss.block_until_ready()
+
+    t0 = time.perf_counter()
+    total_rays = 0.0
+    for s in range(SPP):
+        loss, rays, gnorm = spp_step(mat_float, jax.random.fold_in(key, s))
+        total_rays += float(rays)
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    rays_per_s = total_rays / dt
+    print(json.dumps({
+        "metric": "cornell_256_64spp_fwd_bwd_rays_per_sec_per_chip",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s/chip",
+        "vs_baseline": round(rays_per_s / CPU_ANCHOR_RAYS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

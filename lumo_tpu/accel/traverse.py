@@ -1,0 +1,180 @@
+"""Device-side BVH traversal over ray wavefronts.
+
+TPU re-design of the reference's iterative 64-deep-stack walk
+(``src/tracer/object/bvh.rs:315-362``): N rays traverse in lockstep inside
+one ``lax.while_loop`` — each iteration every live lane pops one node,
+slab-tests it, and either tests its <=4-triangle leaf (Woop watertight,
+``triangle.rs:63-187``) or pushes the two children near-first.  All
+branches are masks; the loop runs until every lane's stack is empty.
+Triangles are pre-permuted at build time so each leaf is a contiguous
+slice — leaf tests are plain dynamic-slice gathers.
+
+Any-hit (shadow) traversal is the same loop with an early-exit mask
+(reference ``GEO=false`` fast path, ``bvh.rs:330-338``).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lumo_tpu.config import INF
+from lumo_tpu.geometry import intersect as geo
+
+STACK = 64  # reference ``bvh.rs:324``
+LEAF = 4
+
+
+def _leaf_t(o, kz, shear, tri, first, count, t_min, t_max):
+    """Test the <=LEAF triangles of each lane's leaf. Returns (t, idx):
+    per-lane best hit among the leaf prims ((N,), (N,))."""
+    a, b, c = tri
+    offs = jnp.arange(LEAF, dtype=jnp.int32)
+    idx = first[:, None] + offs[None, :]                     # (N, LEAF)
+    valid = offs[None, :] < count[:, None]
+    idx_c = jnp.clip(idx, 0, a.shape[0] - 1)
+    if t_max.ndim == 1:
+        t_max = t_max[:, None]
+    t, _, _ = geo.triangle_t(o, kz, shear, a[idx_c], b[idx_c], c[idx_c],
+                             t_min, t_max)
+    t = jnp.where(valid, t, INF)
+    j = jnp.argmin(t, axis=-1)
+    tb = jnp.take_along_axis(t, j[:, None], axis=-1)[:, 0]
+    ib = jnp.take_along_axis(idx_c, j[:, None], axis=-1)[:, 0]
+    return tb, ib
+
+
+def closest_hit(bvh, tri, o, d, t_min=0.0, t_max=INF):
+    """Closest-hit traversal.  bvh: dict of node arrays; tri: (a, b, c)
+    triangle vertex arrays in BVH order.  o, d: (N, 3).
+    Returns (t (N,), prim (N,)) — prim indexes the permuted arrays, -1 on
+    miss."""
+    N = o.shape[0]
+    kz, shear = geo.ray_setup(d)
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-30, jnp.where(d < 0, -1e-30, 1e-30), d)
+    neg = (d < 0.0)  # (N, 3) per-axis near/far child order
+
+    if isinstance(t_max, (int, float)):
+        t_max = jnp.full((N,), t_max, o.dtype)
+
+    state = {
+        "stack": jnp.zeros((N, STACK), jnp.int32),
+        "sp": jnp.ones((N,), jnp.int32),        # root pre-pushed at slot 0
+        "t": t_max,
+        "prim": jnp.full((N,), -1, jnp.int32),
+    }
+
+    node_lo, node_hi = bvh["lo"], bvh["hi"]
+    node_right, node_first = bvh["right"], bvh["first"]
+    node_count, node_axis = bvh["count"], bvh["axis"]
+
+    def cond(s):
+        return jnp.any(s["sp"] > 0)
+
+    def body(s):
+        active = s["sp"] > 0
+        sp1 = jnp.maximum(s["sp"] - 1, 0)
+        node = jnp.take_along_axis(s["stack"], sp1[:, None], axis=1)[:, 0]
+        node = jnp.where(active, node, 0)
+
+        lo = node_lo[node]
+        hi = node_hi[node]
+        t0 = (lo - o) * inv_d
+        t1 = (hi - o) * inv_d
+        t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        t_far = jnp.min(jnp.maximum(t0, t1), axis=-1) * 1.00000024
+        hit_box = active & (t_near <= t_far) & (t_far > t_min) & (t_near < s["t"])
+
+        count = node_count[node]
+        is_leaf = count > 0
+        do_leaf = hit_box & is_leaf
+
+        # leaf: test up to LEAF triangles
+        lt, lidx = _leaf_t(o, kz, shear, tri, node_first[node], count,
+                           t_min, s["t"])
+        better = do_leaf & (lt < s["t"])
+        t_new = jnp.where(better, lt, s["t"])
+        prim_new = jnp.where(better, lidx, s["prim"])
+
+        # interior: replace popped slot with far child, push near child
+        do_push = hit_box & ~is_leaf
+        axis = node_axis[node]
+        neg_ax = jnp.take_along_axis(neg, axis[:, None], axis=1)[:, 0]
+        left = node + 1
+        right = node_right[node]
+        near = jnp.where(neg_ax, right, left)
+        far = jnp.where(neg_ax, left, right)
+
+        stack = s["stack"]
+        put = lambda st, pos, val, m: jax.vmap(
+            lambda row, p, v, mm: jnp.where(mm, row.at[p].set(v), row)
+        )(st, pos, val, m)
+        stack = put(stack, sp1, far, do_push)
+        stack = put(stack, jnp.minimum(sp1 + 1, STACK - 1), near, do_push)
+        sp = jnp.where(do_push, jnp.minimum(sp1 + 2, STACK), sp1)
+
+        return {"stack": stack, "sp": sp, "t": t_new, "prim": prim_new}
+
+    out = jax.lax.while_loop(cond, body, state)
+    miss = out["prim"] < 0
+    return jnp.where(miss, INF, out["t"]), out["prim"]
+
+
+def any_hit(bvh, tri, o, d, t_min=0.0, t_max=INF):
+    """Occlusion traversal: True where any triangle lies in (t_min, t_max).
+    Lanes stop traversing the moment they find a hit."""
+    N = o.shape[0]
+    kz, shear = geo.ray_setup(d)
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-30, jnp.where(d < 0, -1e-30, 1e-30), d)
+
+    if isinstance(t_max, (int, float)):
+        t_max = jnp.full((N,), t_max, o.dtype)
+
+    state = {
+        "stack": jnp.zeros((N, STACK), jnp.int32),
+        "sp": jnp.ones((N,), jnp.int32),
+        "hit": jnp.zeros((N,), bool),
+    }
+
+    node_lo, node_hi = bvh["lo"], bvh["hi"]
+    node_right, node_first = bvh["right"], bvh["first"]
+    node_count = bvh["count"]
+
+    def cond(s):
+        return jnp.any((s["sp"] > 0) & ~s["hit"])
+
+    def body(s):
+        active = (s["sp"] > 0) & ~s["hit"]
+        sp1 = jnp.where(active, s["sp"] - 1, s["sp"])
+        slot = jnp.maximum(sp1, 0)
+        node = jnp.take_along_axis(s["stack"], slot[:, None], axis=1)[:, 0]
+        node = jnp.where(active, node, 0)
+
+        lo = node_lo[node]
+        hi = node_hi[node]
+        t0 = (lo - o) * inv_d
+        t1 = (hi - o) * inv_d
+        t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        t_far = jnp.min(jnp.maximum(t0, t1), axis=-1) * 1.00000024
+        hit_box = active & (t_near <= t_far) & (t_far > t_min) & (t_near < t_max)
+
+        count = node_count[node]
+        is_leaf = count > 0
+        lt, _ = _leaf_t(o, kz, shear, tri, node_first[node], count,
+                        t_min, t_max)
+        hit = s["hit"] | (hit_box & is_leaf & (lt < t_max))
+
+        do_push = hit_box & ~is_leaf
+        left = node + 1
+        right = node_right[node]
+        stack = s["stack"]
+        put = lambda st, pos, val, m: jax.vmap(
+            lambda row, p, v, mm: jnp.where(mm, row.at[p].set(v), row)
+        )(st, pos, val, m)
+        stack = put(stack, slot, right, do_push)
+        stack = put(stack, jnp.minimum(slot + 1, STACK - 1), left, do_push)
+        sp = jnp.where(do_push, jnp.minimum(slot + 2, STACK), sp1)
+
+        return {"stack": stack, "sp": sp, "hit": hit}
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["hit"]

@@ -30,12 +30,18 @@ _TINY = 1e-30
 DELTA_EPS = 1e-5      # 1 - cosθ(wh) tolerance for delta pdf checks
 
 
+def dispersive_mask(materials: dict, mat):
+    """Lanes whose material terminates hero wavelengths on sampling
+    (non-constant-eta dielectric)."""
+    return (materials["kind"][mat] == MF_DIELECTRIC) & ~materials["eta_const"][mat]
+
+
 def gather_params(materials: dict, mat, lam, uv):
     """Gather per-ray material parameters at wavelengths `lam` (N, 4)."""
     m = materials
     alpha = jnp.stack([m["roughness"][mat], m["roughness"][mat]], axis=-1)
-    eta4 = dense.sample(m["eta"][mat][..., None, :], lam)
-    k4 = dense.sample(m["k"][mat][..., None, :], lam)
+    eta4 = dense.sample_rows(m["eta"], mat, lam)
+    k4 = dense.sample_rows(m["k"], mat, lam)
     kind = m["kind"][mat]
     rough = m["roughness"][mat]
     # delta classification (reference ``microfacet.rs:79-83``, ``bxdf.rs:57-66``)

@@ -88,6 +88,25 @@ def sample(values, lam):
     return jnp.where(lam == 0.0, 0.0, out)
 
 
+def sample_rows(table, rows, lam):
+    """Sample per-ray rows of a dense-spectrum table without materializing
+    (N, 95) gathers: table (M, 95), rows (N,) int, lam (N, 4) → (N, 4).
+
+    Gathers only the two 5nm interpolation endpoints per wavelength —
+    the hot-path variant of :func:`sample` (the (N, 95)-row gather was the
+    dominant HBM traffic of the whole renderer)."""
+    table = jnp.asarray(table)
+    x = (lam - LAMBDA_MIN) / STEP
+    b1 = jnp.clip(jnp.ceil(x).astype(jnp.int32), 0, DENSE_SAMPLES - 1)
+    b0 = jnp.clip(b1 - 1, 0, DENSE_SAMPLES - 1)
+    x1 = jnp.clip(x - b0.astype(table.dtype), 0.0, 1.0)
+    r = rows[..., None]
+    v0 = table[r, b0]
+    v1 = table[r, b1]
+    out = v0 * (1.0 - x1) + v1 * x1
+    return jnp.where(lam == 0.0, 0.0, out)
+
+
 def to_xyz(values) -> np.ndarray:
     """Dense spectrum (…, 95) → CIE XYZ (…, 3) (host-side, float64).
 

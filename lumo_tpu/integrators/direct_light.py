@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from lumo_tpu.bsdf import eval as bsdf
+from lumo_tpu.color import wavelength
 from lumo_tpu.config import RADIANCE
 from lumo_tpu.geometry import intersect as geo
 from lumo_tpu.integrators import common

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from lumo_tpu.bsdf import eval as bsdf
-from lumo_tpu.color import space
+from lumo_tpu.color import space, wavelength
 from lumo_tpu.config import RADIANCE
 from lumo_tpu.geometry import intersect as geo
 from lumo_tpu.integrators import common
@@ -60,16 +60,17 @@ def integrate(scene, o, d, lam, key, delta=1.0, max_depth=MAX_DEPTH,
         wo = -s["d"]
         lam = s["lam"]
 
-        # gathered *= transmittance (identity until media land)
-        mp = bsdf.gather_params(scene.materials, hit["mat"], lam, hit["uv"])
+        # dispersion terminates hero wavelengths BEFORE the single param
+        # gather, so one gather serves sampling, NEE and eval
+        lam2 = wavelength.terminate(lam, bsdf.dispersive_mask(scene.materials,
+                                                              hit["mat"]))
+        mp = bsdf.gather_params(scene.materials, hit["mat"], lam2, hit["uv"])
+        mp2 = mp
 
-        # sample the BSDF (may terminate hero wavelengths on dispersion)
         u_lobe = jax.random.uniform(k_lobe, (N,))
         u_sq = jax.random.uniform(k_sq, (N, 2))
-        wi, sample_ok, lam2 = bsdf.sample(mp, wo, hit["ns"], hit["backface"],
-                                          lam, u_lobe, u_sq)
-        # re-gather with the (possibly terminated) wavelengths for eval
-        mp2 = bsdf.gather_params(scene.materials, hit["mat"], lam2, hit["uv"])
+        wi, sample_ok, _ = bsdf.sample(mp, wo, hit["ns"], hit["backface"],
+                                       lam2, u_lobe, u_sq)
 
         # emitter hit: lights/blank have no BSDF → path ends here; emission
         # only counted after specular chains (reference ``path_trace.rs:22-28``)

@@ -4,9 +4,11 @@ The reference stores polymorphic ``Box<dyn Object>`` trees
 (``src/tracer/scene.rs``); the TPU design flattens everything to two
 primitive families (triangles, spheres) in SoA layout at build time —
 rectangles, cubes and instanced meshes are baked into world-space
-triangles — so device code is pure dense array math.  Lights get a
-Walker alias table (reference ``bvh.rs:104-191``) built host-side for
-O(1) power-proportional sampling on device.
+triangles — so device code is pure dense array math.  Scenes above a size
+threshold get a binned-SAH BVH (``lumo_tpu.accel``) whose leaf order the
+triangle arrays are permuted into, so traversal needs no indirection.
+Lights get a Walker alias table (reference ``bvh.rs:104-191``) built
+host-side for O(1) power-proportional sampling on device.
 """
 from __future__ import annotations
 
@@ -18,6 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from lumo_tpu.scene.materials import LIGHT, Material, pack_materials
+
+BVH_THRESHOLD = 64  # brute-force below this many triangles
 
 
 @jax.tree_util.register_dataclass
@@ -48,6 +52,8 @@ class SceneData:
     prim_light: Any       # (P,) light index per prim, -1 if not a light
     # material table (dict of arrays)
     materials: Any
+    # BVH over triangles (dict of arrays) or None (brute force)
+    bvh: Any
     # world bounds (2, 3)
     bounds: Any
     # static metadata
@@ -55,6 +61,14 @@ class SceneData:
     n_spheres: int = dataclasses.field(metadata=dict(static=True))
     n_lights: int = dataclasses.field(metadata=dict(static=True))
     n_shadow_rays: int = dataclasses.field(metadata=dict(static=True))
+
+
+def _empty_tri_chunk():
+    return {
+        "a": np.zeros((0, 3)), "b": np.zeros((0, 3)), "c": np.zeros((0, 3)),
+        "na": np.zeros((0, 3)), "nb": np.zeros((0, 3)), "nc": np.zeros((0, 3)),
+        "uva": np.zeros((0, 2)), "uvb": np.zeros((0, 2)), "uvc": np.zeros((0, 2)),
+    }
 
 
 class SceneBuilder:
@@ -65,7 +79,7 @@ class SceneBuilder:
     """
 
     def __init__(self):
-        self._tris = []        # list of (a,b,c,na,nb,nc,uva,uvb,uvc, mat_idx, is_light)
+        self._tri_chunks = []  # list of (geom dict, mat_idx, is_light)
         self._spheres = []     # list of (center, radius, mat_idx, is_light)
         self._materials: list[Material] = []
         self.environment: Optional[Material] = None
@@ -115,17 +129,15 @@ class SceneBuilder:
         # cull degenerates (reference ``triangle_mesh.rs:57-97``)
         area2 = np.linalg.norm(np.cross(b - a, c - a), axis=-1)
         keep = area2 > 1e-20
-        for arrs in [(a, b, c, na, nb, nc, uva, uvb, uvc)]:
-            a, b, c, na, nb, nc, uva, uvb, uvc = [x[keep] for x in arrs]
-        for i in range(len(a)):
-            self._tris.append((a[i], b[i], c[i], na[i], nb[i], nc[i],
-                               uva[i], uvb[i], uvc[i], mid, is_light))
+        geom = {"a": a[keep], "b": b[keep], "c": c[keep],
+                "na": na[keep], "nb": nb[keep], "nc": nc[keep],
+                "uva": uva[keep], "uvb": uvb[keep], "uvc": uvc[keep]}
+        self._tri_chunks.append((geom, mid, is_light))
         return mid
 
     def add_rectangle(self, p0, p1, p2, mat: Material | int):
-        """Rectangle abcd from three corners (b - a - c winding like the
-        reference ``rectangle.rs:43-69``); d = b + c - a... reference uses
-        d = p0 + (p2 - p1). Two triangles with basis uvs."""
+        """Rectangle from three corners (reference ``rectangle.rs:43-69``:
+        d = p0 + (p2 - p1)); two triangles with basis uvs."""
         p0, p1, p2 = [np.asarray(p, np.float64) for p in (p0, p1, p2)]
         p3 = p0 + (p2 - p1)
         verts = np.stack([p0, p1, p2, p3])
@@ -168,42 +180,61 @@ class SceneBuilder:
             lo, hi = self._host_bounds()
             center = 0.5 * (lo + hi)
             radius = float(np.linalg.norm(center - lo))
-            self.add_sphere(center, max(radius, 1e-3), self.environment)
+            self.add_sphere(center, max(radius, 1e-3) * 1.01, self.environment)
+            self.environment = None
 
-        T = len(self._tris)
+        # concatenate triangle chunks
+        keys = list(_empty_tri_chunk().keys())
+        if self._tri_chunks:
+            tri = {k: np.concatenate([g[k] for g, _, _ in self._tri_chunks])
+                   for k in keys}
+            tri_mat = np.concatenate([
+                np.full(len(g["a"]), m, np.int32)
+                for g, m, _ in self._tri_chunks])
+            tri_is_light = np.concatenate([
+                np.full(len(g["a"]), il, bool)
+                for g, _, il in self._tri_chunks])
+        else:
+            tri = _empty_tri_chunk()
+            tri_mat = np.zeros(0, np.int32)
+            tri_is_light = np.zeros(0, bool)
+
+        T = len(tri["a"])
         S = len(self._spheres)
         P = T + S
 
-        def tri_field(i, d=3):
-            if T == 0:
-                return np.zeros((0, d))
-            return np.stack([t[i] for t in self._tris])
-
-        tri = {k: tri_field(i) for i, k in enumerate(
-            ["a", "b", "c", "na", "nb", "nc"])}
-        triuv = {k: tri_field(i, 2) for i, k in zip([6, 7, 8], ["uva", "uvb", "uvc"])}
-        tri_mat = np.array([t[9] for t in self._tris], np.int32) if T else np.zeros(0, np.int32)
+        # ---- BVH over triangles (permutes them into leaf order) ----
+        bvh = None
+        if T >= BVH_THRESHOLD:
+            from lumo_tpu.accel import build as accel_build
+            lo_t, hi_t = accel_build.triangle_bounds(tri["a"], tri["b"], tri["c"])
+            bvh = accel_build.build(lo_t, hi_t)
+            order = bvh.order
+            tri = {k: v[order] for k, v in tri.items()}
+            tri_mat = tri_mat[order]
+            tri_is_light = tri_is_light[order]
 
         sph_center = (np.stack([s[0] for s in self._spheres]) if S
                       else np.zeros((0, 3)))
         sph_radius = np.array([s[1] for s in self._spheres]) if S else np.zeros(0)
         sph_mat = np.array([s[2] for s in self._spheres], np.int32) if S else np.zeros(0, np.int32)
 
-        # ---- lights + alias table ----
-        light_prims, powers = [], []
+        # ---- lights + alias table (power = area × material power,
+        #      reference ``bvh.rs:104-191``) ----
         prim_light = np.full(max(P, 1), -1, np.int32)
-        for i, t in enumerate(self._tris):
-            if t[10]:
-                area = 0.5 * np.linalg.norm(np.cross(t[1] - t[0], t[2] - t[0]))
-                prim_light[i] = len(light_prims)
-                light_prims.append(i)
-                powers.append(area * self._materials[t[9]].mean_power())
+        mat_power = np.array([m.mean_power() for m in self._materials])
+        light_prims_t = np.nonzero(tri_is_light)[0]
+        tri_area = 0.5 * np.linalg.norm(
+            np.cross(tri["b"] - tri["a"], tri["c"] - tri["a"]), axis=-1) if T else np.zeros(0)
+        powers = list(tri_area[light_prims_t] * mat_power[tri_mat[light_prims_t]])
+        light_prims = list(light_prims_t)
+        prim_light[light_prims_t] = np.arange(len(light_prims_t))
         for j, s in enumerate(self._spheres):
             if s[3]:
                 area = 4.0 * np.pi * s[1] ** 2
                 prim_light[T + j] = len(light_prims)
                 light_prims.append(T + j)
-                powers.append(area * self._materials[s[2]].mean_power())
+                powers.append(area * mat_power[s[2]])
         L = len(light_prims)
         if L > 0:
             pdf, alias_p, alias_idx = _build_alias(np.asarray(powers, np.float64))
@@ -215,10 +246,15 @@ class SceneBuilder:
 
         ju = lambda x: jnp.asarray(x)
         jf = lambda x: jnp.asarray(np.asarray(x), dtype)
+        bvh_dev = None
+        if bvh is not None:
+            bvh_dev = {"lo": jf(bvh.node_lo), "hi": jf(bvh.node_hi),
+                       "right": ju(bvh.node_right), "first": ju(bvh.node_first),
+                       "count": ju(bvh.node_count), "axis": ju(bvh.node_axis)}
         return SceneData(
             tri_a=jf(tri["a"]), tri_b=jf(tri["b"]), tri_c=jf(tri["c"]),
             tri_na=jf(tri["na"]), tri_nb=jf(tri["nb"]), tri_nc=jf(tri["nc"]),
-            tri_uva=jf(triuv["uva"]), tri_uvb=jf(triuv["uvb"]), tri_uvc=jf(triuv["uvc"]),
+            tri_uva=jf(tri["uva"]), tri_uvb=jf(tri["uvb"]), tri_uvc=jf(tri["uvc"]),
             tri_mat=ju(tri_mat),
             sph_center=jf(sph_center), sph_radius=jf(sph_radius), sph_mat=ju(sph_mat),
             light_prim=ju(np.asarray(light_prims, np.int32)),
@@ -227,6 +263,7 @@ class SceneBuilder:
             prim_light=ju(prim_light),
             materials={k: (jf(v) if v.dtype in (np.float32, np.float64) else ju(v))
                        for k, v in pack_materials(self._materials).items()},
+            bvh=bvh_dev,
             bounds=jf(np.stack([lo, hi])),
             n_tris=T, n_spheres=S, n_lights=L,
             n_shadow_rays=max(1, int(np.log2(max(L, 1))) if L > 1 else 1),
@@ -235,10 +272,11 @@ class SceneBuilder:
     def _host_bounds(self):
         lo = np.full(3, np.inf)
         hi = np.full(3, -np.inf)
-        for t in self._tris:
-            for v in t[:3]:
-                lo = np.minimum(lo, v)
-                hi = np.maximum(hi, v)
+        for g, _, _ in self._tri_chunks:
+            for k in ("a", "b", "c"):
+                if len(g[k]):
+                    lo = np.minimum(lo, g[k].min(axis=0))
+                    hi = np.maximum(hi, g[k].max(axis=0))
         for s in self._spheres:
             lo = np.minimum(lo, s[0] - s[1])
             hi = np.maximum(hi, s[0] + s[1])

@@ -43,14 +43,37 @@ def _all_t(scene: SceneData, o, d, t_min, t_max):
     return jnp.concatenate(parts, axis=-1)
 
 
+def _closest(scene: SceneData, o, d, t_max):
+    """(t, global prim id) closest hit; BVH traversal for triangles when
+    built, dense otherwise; spheres always dense (they are few)."""
+    N = o.shape[0]
+    if scene.bvh is not None:
+        from lumo_tpu.accel import traverse
+        t_tri, p_tri = traverse.closest_hit(
+            scene.bvh, (scene.tri_a, scene.tri_b, scene.tri_c), o, d,
+            t_max=t_max)
+        t, prim = t_tri, jnp.where(p_tri < 0, 0, p_tri)
+        if scene.n_spheres:
+            t_sph = geo.sphere_t(o, d, scene.sph_center[None],
+                                 scene.sph_radius[None], 0.0, t_max)
+            js = jnp.argmin(t_sph, axis=-1).astype(jnp.int32)
+            ts = jnp.take_along_axis(t_sph, js[..., None], axis=-1)[..., 0]
+            better = ts < t
+            t = jnp.minimum(t, ts)
+            prim = jnp.where(better, scene.n_tris + js, prim)
+        return t, prim
+    ts = _all_t(scene, o, d, 0.0, t_max)
+    prim = jnp.argmin(ts, axis=-1).astype(jnp.int32)
+    t = jnp.take_along_axis(ts, prim[..., None], axis=-1)[..., 0]
+    return t, prim
+
+
 def intersect(scene: SceneData, o, d, t_max=None):
     """Closest hit for a wavefront. o, d: (N, 3). Returns a hit dict."""
     N = o.shape[0]
     if t_max is None:
         t_max = INF
-    ts = _all_t(scene, o, d, 0.0, t_max)
-    prim = jnp.argmin(ts, axis=-1).astype(jnp.int32)
-    t = jnp.take_along_axis(ts, prim[..., None].astype(jnp.int64), axis=-1)[..., 0]
+    t, prim = _closest(scene, o, d, t_max)
     valid = jnp.isfinite(t)
 
     T = scene.n_tris
@@ -89,6 +112,15 @@ def intersect(scene: SceneData, o, d, t_max=None):
 
 def occluded(scene: SceneData, o, d, t_max):
     """Any-hit within (0, t_max). t_max: (N,)."""
+    if scene.bvh is not None:
+        from lumo_tpu.accel import traverse
+        occ = traverse.any_hit(scene.bvh, (scene.tri_a, scene.tri_b, scene.tri_c),
+                               o, d, t_max=t_max)
+        if scene.n_spheres:
+            t_sph = geo.sphere_t(o, d, scene.sph_center[None],
+                                 scene.sph_radius[None], 0.0, t_max[..., None])
+            occ = occ | jnp.any(jnp.isfinite(t_sph), axis=-1)
+        return occ
     ts = _all_t(scene, o, d, 0.0, t_max[..., None])
     return jnp.any(jnp.isfinite(ts), axis=-1)
 
@@ -100,7 +132,7 @@ def emitted(scene: SceneData, mat, lam, uv, backface):
     """Emitted radiance (N, 4) of material ids `mat` at wavelengths `lam`."""
     m = scene.materials
     ke = uplift.sample(m["ke"][mat][..., None, :], lam)         # (N, 4)
-    illum = dense.sample(m["illum"][mat][..., None, :], lam)
+    illum = dense.sample_rows(m["illum"], mat, lam)
     scale = m["emit_scale"][mat][..., None]
     is_light = (m["kind"][mat] == LIGHT)[..., None]
     visible = (m["two_sided"][mat] | ~backface)[..., None]
