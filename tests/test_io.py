@@ -1,0 +1,111 @@
+""".obj/.mtl parser + instancing tests (reference parser/obj.rs,
+parser/mtl.rs semantics)."""
+import io
+
+import numpy as np
+
+from lumo_tpu.io import obj as obj_io
+from lumo_tpu.scene.instance import Mesh, sphere_instance, translation
+from lumo_tpu.scene.materials import LIGHT, MF_CONDUCTOR, MF_DIELECTRIC, Material
+
+OBJ = """
+# comment
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+vn 0 0 1
+vt 0 0
+vt 1 0
+vt 1 1
+vt 0 1
+usemtl redmat
+f 1/1/1 2/2/1 3/3/1 4/4/1
+g other
+usemtl lamp
+f -4 -3 -2
+"""
+
+MTL = """
+newmtl redmat
+Kd 0.9 0.1 0.1
+Ns 225
+Ni 1.45
+illum 7
+newmtl lamp
+Ke 10 10 10
+newmtl metal
+Ks 0.9 0.8 0.2
+illum 5
+Ns 900
+"""
+
+
+def test_parse_obj_groups_and_fan():
+    verts, normals, uvs, groups = obj_io.parse_obj(OBJ)
+    assert verts.shape == (4, 3)
+    assert normals.shape == (1, 3)
+    assert uvs.shape == (4, 2)
+    assert len(groups) == 2
+    name0, fv0, fn0, ft0 = groups[0]
+    assert name0 == "redmat"
+    assert fv0.shape == (2, 3)        # quad fan-triangulated
+    assert (fv0 == [[0, 1, 2], [0, 2, 3]]).all()
+    assert fn0 is not None and (fn0 == 0).all()
+    assert ft0 is not None
+    name1, fv1, fn1, ft1 = groups[1]
+    assert name1 == "lamp"
+    assert (fv1 == [[0, 1, 2]]).all()  # negative indices resolved
+    assert fn1 is None and ft1 is None
+
+
+def test_parse_mtl_semantics():
+    mtls = obj_io.parse_mtl(MTL)
+    red = mtls["redmat"]
+    assert red.is_transparent and red.fresnel_enabled    # illum 7
+    assert abs(red.eta - 1.45) < 1e-12
+    assert abs(red.roughness - (1.0 - 15.0 / 30.0)) < 1e-12  # Ns=225
+    m = red.build_material()
+    assert m.kind == MF_DIELECTRIC
+    lamp = mtls["lamp"].build_material()
+    assert lamp.kind == LIGHT
+    metal = mtls["metal"]
+    assert metal.fresnel_enabled and not metal.is_transparent
+    assert metal.build_material().kind == MF_CONDUCTOR
+    assert abs(metal.roughness) < 1e-12                 # Ns=900 → 0
+
+
+def test_scene_from_file_builds():
+    b = obj_io.scene_from_file(io.StringIO(OBJ), io.StringIO(MTL))
+    scene = b.build()
+    assert scene.n_tris == 3
+    assert scene.n_lights == 1
+
+
+def test_mesh_instance_bake():
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 4]], np.float64)
+    f = np.array([[0, 1, 2], [0, 1, 3]])
+    m = Mesh(v, f).to_unit_size().to_origin().set_y(-0.8).translate(1, 0, 0)
+    b = obj_io.SceneBuilder()
+    m.add_to(b, Material.diffuse((0.5, 0.5, 0.5)))
+    s = b.build()
+    a = np.asarray(s.tri_a)
+    allv = np.concatenate([np.asarray(s.tri_a), np.asarray(s.tri_b),
+                           np.asarray(s.tri_c)])
+    ext = allv.max(0) - allv.min(0)
+    assert abs(ext.max() - 1.0) < 1e-5          # unit size
+    assert abs(allv[:, 1].min() - (-0.8)) < 1e-5  # floor set_y
+    assert abs((allv[:, 0].min() + allv[:, 0].max()) / 2 - 1.0) < 1e-5
+
+
+def test_sphere_instance():
+    t = translation(1, 2, 3) @ np.diag([2.0, 2.0, 2.0, 1.0])
+    c, r = sphere_instance((1, 0, 0), 0.5, t)
+    np.testing.assert_allclose(c, [3, 2, 3])
+    assert abs(r - 1.0) < 1e-12
+    bad = np.diag([1.0, 2.0, 1.0, 1.0])
+    try:
+        sphere_instance((0, 0, 0), 1.0, bad)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
