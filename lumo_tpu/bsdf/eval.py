@@ -36,8 +36,12 @@ def dispersive_mask(materials: dict, mat):
     return (materials["kind"][mat] == MF_DIELECTRIC) & ~materials["eta_const"][mat]
 
 
-def gather_params(materials: dict, mat, lam, uv):
-    """Gather per-ray material parameters at wavelengths `lam` (N, 4)."""
+def gather_params(materials: dict, mat, lam, uv, textures=None, tex_kinds=()):
+    """Gather per-ray material parameters at wavelengths `lam` (N, 4).
+
+    When a texture table is given, kd/ks/tf with texture ids >= 0 are
+    replaced by the texture's albedo at `uv`
+    (reference ``mfd.kd/ks/tf(lambda, uv)``)."""
     m = materials
     alpha = jnp.stack([m["roughness"][mat], m["roughness"][mat]], axis=-1)
     eta4 = dense.sample_rows(m["eta"], mat, lam)
@@ -50,7 +54,7 @@ def gather_params(materials: dict, mat, lam, uv):
     is_delta = jnp.where(kind == MF_CONDUCTOR, mf_delta,
                jnp.where(kind == MF_DIELECTRIC, mf_delta | (eta_lead == 1.0),
                          False))
-    return {
+    out = {
         "kind": kind,
         "alpha": alpha,
         "rough_mean": rough,
@@ -65,6 +69,13 @@ def gather_params(materials: dict, mat, lam, uv):
         "tf": uplift.sample(m["tf"][mat][..., None, :], lam),
         "hg_g": m["hg_g"][mat],
     }
+    if textures is not None and uv is not None:
+        from lumo_tpu import texture as texture_mod
+        for slot in ("kd", "ks", "tf"):
+            tid = m[slot + "_tex"][mat]
+            val = texture_mod.albedo(textures, tid, lam, uv, kinds=tex_kinds)
+            out[slot] = jnp.where((tid >= 0)[..., None], val, out[slot])
+    return out
 
 
 def _reflect(wo, wh):

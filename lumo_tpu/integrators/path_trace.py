@@ -64,7 +64,8 @@ def integrate(scene, o, d, lam, key, delta=1.0, max_depth=MAX_DEPTH,
         # gather, so one gather serves sampling, NEE and eval
         lam2 = wavelength.terminate(lam, bsdf.dispersive_mask(scene.materials,
                                                               hit["mat"]))
-        mp = bsdf.gather_params(scene.materials, hit["mat"], lam2, hit["uv"])
+        mp = bsdf.gather_params(scene.materials, hit["mat"], lam2, hit["uv"],
+                        scene.textures, scene.tex_kinds)
         mp2 = mp
 
         u_lobe = jax.random.uniform(k_lobe, (N,))

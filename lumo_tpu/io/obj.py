@@ -48,10 +48,12 @@ class MtlConfig:
     map_Ke: Optional[str] = None
     map_Bump: Optional[str] = None
 
-    def build_material(self, textures=None) -> Material:
+    def build_material(self, textures=None, normal_maps=None) -> Material:
         """Reference ``MtlConfig::build_material`` (``mtl.rs:60-91``).
-        `textures` maps a path → registered texture id (or None)."""
+        `textures`/`normal_maps` map a path → registered id (or None)."""
         tex = lambda p: -1 if (textures is None or p is None) else textures.get(p, -1)
+        nm = (-1 if (normal_maps is None or self.map_Bump is None)
+              else normal_maps.get(self.map_Bump, -1))
         if any(v != 0.0 for v in self.Ke) or self.map_Ke is not None:
             ke = self.Ke if any(v != 0.0 for v in self.Ke) else (1.0, 1.0, 1.0)
             return Material.light(ke, ke_tex=tex(self.map_Ke))
@@ -59,7 +61,7 @@ class MtlConfig:
             self.roughness, self.eta, self.k,
             self.is_transparent, self.fresnel_enabled,
             self.Kd, self.Ks, self.Tf,
-            kd_tex=tex(self.map_Kd), ks_tex=tex(self.map_Ks))
+            kd_tex=tex(self.map_Kd), ks_tex=tex(self.map_Ks), nm_tex=nm)
 
 
 def parse_mtl(text: str, map_ks: bool = True) -> dict:
@@ -232,14 +234,33 @@ def mesh_from_file(source, material: Material, builder: SceneBuilder = None,
 
 def scene_from_file(obj_source, mtl_source=None, builder: SceneBuilder = None,
                     default_material: Material = None,
-                    textures=None) -> SceneBuilder:
+                    resolve=None) -> SceneBuilder:
     """Load an .obj with its .mtl library: per-``usemtl`` sub-meshes,
-    emissive groups as lights (reference ``obj::load_scene``)."""
+    emissive groups as lights (reference ``obj::load_scene``).
+
+    `resolve(path)` returns a file-like for a texture path referenced by
+    the .mtl (e.g. out of a zip) — texture maps load through it
+    (reference decodes them on a 4-worker pool, ``mtl.rs:100-147``)."""
     b = builder or SceneBuilder()
     mtls = parse_mtl(_read(mtl_source)) if mtl_source is not None else {}
+    textures: dict[str, int] = {}
+    normal_maps: dict[str, int] = {}
+    if resolve is not None:
+        from lumo_tpu.io import image as image_io
+        for cfg in mtls.values():
+            for pth in (cfg.map_Kd, cfg.map_Ks, cfg.map_Ke):
+                if pth and pth not in textures:
+                    src = resolve(pth)
+                    if src is not None:
+                        textures[pth] = b.textures.image(image_io.load_png(src))
+            if cfg.map_Bump and cfg.map_Bump not in normal_maps:
+                src = resolve(cfg.map_Bump)
+                if src is not None:
+                    normal_maps[cfg.map_Bump] = b.textures.normal_map(
+                        image_io.bump_to_normal_map(src))
     mat_ids: dict[str, int] = {}
     for name, cfg in mtls.items():
-        mat_ids[name] = b.material(cfg.build_material(textures))
+        mat_ids[name] = b.material(cfg.build_material(textures, normal_maps))
     default_id = None
     verts, normals, uvs, groups = parse_obj(_read(obj_source))
     for name, fv, fn, ft in groups:
@@ -306,7 +327,12 @@ def scene_from_zip(zip_bytes: bytes, builder: SceneBuilder = None) -> SceneBuild
     mtl_name = _zip_member(zf, ".mtl")
     obj = io.BytesIO(zf.read(obj_name))
     mtl = io.BytesIO(zf.read(mtl_name)) if mtl_name else None
-    return scene_from_file(obj, mtl, builder=builder)
+
+    def resolve(path):
+        m = _zip_member(zf, path.rsplit("/", 1)[-1])
+        return io.BytesIO(zf.read(m)) if m else None
+
+    return scene_from_file(obj, mtl, builder=builder, resolve=resolve)
 
 
 def mesh_from_url(url: str, material: Material,

@@ -68,6 +68,7 @@ class Material:
     ks_tex: int = -1
     tf_tex: int = -1
     ke_tex: int = -1
+    nm_tex: int = -1    # normal map id (separate id space)
 
     # ---- factory functions mirroring reference ``material.rs:26-195`` ----
 
@@ -77,7 +78,8 @@ class Material:
 
     @staticmethod
     def microfacet(roughness, eta, k, is_transparent, fresnel_enabled,
-                   kd, ks, tf, kd_tex=-1, ks_tex=-1, tf_tex=-1) -> "Material":
+                   kd, ks, tf, kd_tex=-1, ks_tex=-1, tf_tex=-1,
+                   nm_tex=-1) -> "Material":
         if is_transparent and np.isscalar(eta):
             # spectral eta presets (reference ``material.rs:37-45``)
             if eta == 1.5:
@@ -90,7 +92,8 @@ class Material:
                 else MF_CONDUCTOR if fresnel_enabled else MF_DIFFUSE)
         return Material(kind=kind, kd=_spec(kd), ks=_spec(ks), tf=_spec(tf),
                         roughness=max(float(roughness), 1e-5), eta=eta_d, k=k_d,
-                        kd_tex=kd_tex, ks_tex=ks_tex, tf_tex=tf_tex)
+                        kd_tex=kd_tex, ks_tex=ks_tex, tf_tex=tf_tex,
+                        nm_tex=nm_tex)
 
     @staticmethod
     def metal(ks, roughness, eta, k, ks_tex=-1) -> "Material":
@@ -188,6 +191,7 @@ def pack_materials(mats: list) -> dict:
         "ks_tex": np.array([m.ks_tex for m in mats], np.int32),
         "tf_tex": np.array([m.tf_tex for m in mats], np.int32),
         "ke_tex": np.array([m.ke_tex for m in mats], np.int32),
+        "nm_tex": np.array([m.nm_tex for m in mats], np.int32),
         "is_specular": np.array([m.is_specular() for m in mats], bool),
         "eta_const": np.array(
             [m.eta is None or bool(np.all(m.eta == m.eta[0])) for m in mats], bool),

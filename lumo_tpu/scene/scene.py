@@ -52,11 +52,15 @@ class SceneData:
     prim_light: Any       # (P,) light index per prim, -1 if not a light
     # material table (dict of arrays)
     materials: Any
+    # texture table (dict of arrays) or None
+    textures: Any
     # BVH over triangles (dict of arrays) or None (brute force)
     bvh: Any
     # world bounds (2, 3)
     bounds: Any
     # static metadata
+    tex_kinds: tuple = dataclasses.field(metadata=dict(static=True))
+    n_normal_maps: int = dataclasses.field(metadata=dict(static=True))
     n_tris: int = dataclasses.field(metadata=dict(static=True))
     n_spheres: int = dataclasses.field(metadata=dict(static=True))
     n_lights: int = dataclasses.field(metadata=dict(static=True))
@@ -79,6 +83,8 @@ class SceneBuilder:
     """
 
     def __init__(self):
+        from lumo_tpu.texture import Textures
+        self.textures = Textures()
         self._tri_chunks = []  # list of (geom dict, mat_idx, is_light)
         self._spheres = []     # list of (center, radius, mat_idx, is_light)
         self._materials: list[Material] = []
@@ -222,7 +228,10 @@ class SceneBuilder:
         # ---- lights + alias table (power = area × material power,
         #      reference ``bvh.rs:104-191``) ----
         prim_light = np.full(max(P, 1), -1, np.int32)
-        mat_power = np.array([m.mean_power() for m in self._materials])
+        mat_power = np.array([
+            m.mean_power() * (self.textures.mean_rgb(m.ke_tex)
+                              if m.ke_tex >= 0 else 1.0)
+            for m in self._materials])
         light_prims_t = np.nonzero(tri_is_light)[0]
         tri_area = 0.5 * np.linalg.norm(
             np.cross(tri["b"] - tri["a"], tri["c"] - tri["a"]), axis=-1) if T else np.zeros(0)
@@ -263,7 +272,10 @@ class SceneBuilder:
             prim_light=ju(prim_light),
             materials={k: (jf(v) if v.dtype in (np.float32, np.float64) else ju(v))
                        for k, v in pack_materials(self._materials).items()},
+            textures=self.textures.pack(dtype),
             bvh=bvh_dev,
+            tex_kinds=tuple(sorted({r["kind"] for r in self.textures.rows})),
+            n_normal_maps=len(self.textures.normal_images),
             bounds=jf(np.stack([lo, hi])),
             n_tris=T, n_spheres=S, n_lights=L,
             n_shadow_rays=max(1, int(np.log2(max(L, 1))) if L > 1 else 1),

@@ -101,6 +101,15 @@ def intersect(scene: SceneData, o, d, t_max=None):
         det, mat = ds, mat_sph
 
     backface = dot(d, det["ng"]) > 0.0
+    # normal mapping: perturb ns in its per-hit ONB
+    # (reference ``material.rs:324-331``)
+    if scene.n_normal_maps:
+        from lumo_tpu import texture as texture_mod
+        from lumo_tpu.geometry import onb as onb_mod
+        nm = scene.materials["nm_tex"][mat]
+        n_tan = texture_mod.normal_at(scene.textures, nm, det["uv"])
+        ns2 = normalize(onb_mod.to_world(det["ns"], n_tan))
+        det["ns"] = jnp.where((nm >= 0)[..., None], ns2, det["ns"])
     return {
         "valid": valid, "t": jnp.where(valid, t, INF), "prim": prim, "mat": mat,
         "p": det["p"], "ng": det["ng"], "ns": det["ns"], "uv": det["uv"],
@@ -132,6 +141,12 @@ def emitted(scene: SceneData, mat, lam, uv, backface):
     """Emitted radiance (N, 4) of material ids `mat` at wavelengths `lam`."""
     m = scene.materials
     ke = uplift.sample(m["ke"][mat][..., None, :], lam)         # (N, 4)
+    if scene.textures is not None:
+        from lumo_tpu import texture as texture_mod
+        tid = m["ke_tex"][mat]
+        val = texture_mod.albedo(scene.textures, tid, lam, uv,
+                                 kinds=scene.tex_kinds)
+        ke = jnp.where((tid >= 0)[..., None], val, ke)
     illum = dense.sample_rows(m["illum"], mat, lam)
     scale = m["emit_scale"][mat][..., None]
     is_light = (m["kind"][mat] == LIGHT)[..., None]
