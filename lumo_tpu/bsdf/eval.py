@@ -36,12 +36,16 @@ def dispersive_mask(materials: dict, mat):
     return (materials["kind"][mat] == MF_DIELECTRIC) & ~materials["eta_const"][mat]
 
 
-def gather_params(materials: dict, mat, lam, uv, textures=None, tex_kinds=()):
+def gather_params(materials: dict, mat, lam, uv, textures=None, tex_kinds=(),
+                  t=None):
     """Gather per-ray material parameters at wavelengths `lam` (N, 4).
 
     When a texture table is given, kd/ks/tf with texture ids >= 0 are
     replaced by the texture's albedo at `uv`
-    (reference ``mfd.kd/ks/tf(lambda, uv)``)."""
+    (reference ``mfd.kd/ks/tf(lambda, uv)``).  ``t`` is the hit distance,
+    needed by volumetric lanes (the medium BxDF's transmittance-pdf
+    cancellation depends on the traveled distance,
+    ``bxdf.rs:96-98``)."""
     m = materials
     alpha = jnp.stack([m["roughness"][mat], m["roughness"][mat]], axis=-1)
     eta4 = dense.sample_rows(m["eta"], mat, lam)
@@ -68,7 +72,13 @@ def gather_params(materials: dict, mat, lam, uv, textures=None, tex_kinds=()):
         "ks": uplift.sample(m["ks"][mat][..., None, :], lam),
         "tf": uplift.sample(m["tf"][mat][..., None, :], lam),
         "hg_g": m["hg_g"][mat],
+        "sigma_t4": uplift.sample(m["sigma_t"][mat][..., None, :], lam),
+        "sigma_s4": uplift.sample(m["sigma_s"][mat][..., None, :], lam),
     }
+    if t is None:
+        out["t_scaled"] = jnp.zeros_like(rough)
+    else:
+        out["t_scaled"] = jnp.where(jnp.isfinite(t), t, 0.0) * m["t_scale"][mat]
     if textures is not None and uv is not None:
         from lumo_tpu import texture as texture_mod
         for slot in ("kd", "ks", "tf"):
@@ -170,6 +180,18 @@ def f(mp, wo_w, wi_w, ng, ns, backface, lam, mode=RADIANCE):
     f_die_tran = jnp.where(die_delta[..., None], f_die_tran_delta, f_die_tran_rough)
     f_die = jnp.where(reflection[..., None], f_die_refl, f_die_tran)
 
+    # ---- volumetric: σs over the transmittance-sampling pdf, which the
+    #      scene transmittance estimate cancels (``bxdf/volumetric.rs:3-18``) ----
+    tr_v = jnp.exp(-mp["sigma_t4"] * mp["t_scaled"][..., None])
+    mean_tr = jnp.maximum(jnp.mean(tr_v, axis=-1), _TINY)
+    pdf_cancel = jnp.mean(tr_v * mp["sigma_t4"], axis=-1) / mean_tr
+    # sanitize BEFORE masking: a tiny divisor squared underflows in f32 and
+    # its division VJP becomes 0·NaN
+    pc_ok = pdf_cancel > 0.0
+    pc_safe = jnp.where(pc_ok, pdf_cancel, 1.0)
+    f_vol = jnp.where(pc_ok[..., None], mp["sigma_s4"] / pc_safe[..., None],
+                      jnp.ones_like(f_lam))
+
     # ---- reflection-only families reject transmission/backface configs
     #      (reference ``bxdf.rs:78-84``) ----
     refl_ok = reflection & ~backface
@@ -177,7 +199,8 @@ def f(mp, wo_w, wi_w, ng, ns, backface, lam, mode=RADIANCE):
     out = jnp.where(kind[..., None] == LAMBERTIAN, jnp.where(refl_ok[..., None], f_lam, zero),
           jnp.where(kind[..., None] == MF_DIFFUSE, jnp.where(refl_ok[..., None], f_diff, zero),
           jnp.where(kind[..., None] == MF_CONDUCTOR, jnp.where(refl_ok[..., None], f_cond, zero),
-          jnp.where(kind[..., None] == MF_DIELECTRIC, f_die, zero))))
+          jnp.where(kind[..., None] == MF_DIELECTRIC, f_die,
+          jnp.where(kind[..., None] == VOLUMETRIC, f_vol, zero)))))
     return jnp.where(jnp.isfinite(out), out, 0.0)
 
 
@@ -227,6 +250,25 @@ def sample(mp, wo_w, ns, backface, lam, u_lobe, u_sq):
     wi_die = jnp.where(pick_refl[..., None], wi_die_r, wi_die_t)
     die_ok = jnp.where(pick_refl, die_r_ok, die_t_ok)
 
+    # volumetric: Henyey-Greenstein sampling about world-space wo
+    # (reference ``bxdf/volumetric.rs:20-46``)
+    g = mp["hg_g"]
+    g2 = g * g
+    iso = jnp.abs(g) < 1e-3
+    g_safe = jnp.where(iso, 1.0, g)
+    fract = (1.0 - g2) / jnp.maximum(1.0 - g + 2.0 * g * u_sq[..., 0], 1e-6)
+    # NOTE: deviates from reference ``volumetric.rs:24-33``, whose sampled
+    # density is mirrored w.r.t. its own pdf (denominator 1+g²-2g·cosθ vs
+    # 1+g²+2g·cosθ); the integrator's pdf-cancellation hides the bug there.
+    # We negate cosθ so sampling matches the declared (PBRT-convention) pdf.
+    ct_hg = jnp.where(iso, 1.0 - 2.0 * u_sq[..., 0],
+                      -(1.0 + g2 - fract * fract) / (2.0 * g_safe))
+    st_hg = safe_sqrt(1.0 - ct_hg ** 2)
+    phi_hg = 2.0 * PI * u_sq[..., 1]
+    wi_vol_local = jnp.stack([st_hg * jnp.cos(phi_hg),
+                              st_hg * jnp.sin(phi_hg), ct_hg], axis=-1)
+    wi_vol = onb.to_world(normalize(wo_w, eps=_TINY), wi_vol_local)
+
     wi = jnp.where(kind[..., None] == LAMBERTIAN, wi_cos,
          jnp.where(kind[..., None] == MF_DIFFUSE, wi_diff,
          jnp.where(kind[..., None] == MF_CONDUCTOR, wi_cond,
@@ -234,16 +276,18 @@ def sample(mp, wo_w, ns, backface, lam, u_lobe, u_sq):
     ok = jnp.where(kind == LAMBERTIAN, True,
          jnp.where(kind == MF_DIFFUSE, diff_ok,
          jnp.where(kind == MF_CONDUCTOR, cond_ok,
-         jnp.where(kind == MF_DIELECTRIC, die_ok, False))))
+         jnp.where(kind == MF_DIELECTRIC, die_ok,
+         jnp.where(kind == VOLUMETRIC, True, False)))))
 
     # reflection-only BxDFs cannot sample from the backface
-    # (reference ``bxdf.rs:109-112``)
-    is_transmissive = kind == MF_DIELECTRIC
+    # ((reference ``bxdf.rs:44-55,109-112``; volumetric is transmissive)
+    is_transmissive = (kind == MF_DIELECTRIC) | (kind == VOLUMETRIC)
     ok = ok & (is_transmissive | ~backface)
     has_bsdf = (kind != LIGHT) & (kind != BLANK)
     ok = ok & has_bsdf
 
     wi_w = onb.to_world(ns, wi)
+    wi_w = jnp.where((kind == VOLUMETRIC)[..., None], wi_vol, wi_w)
     wi_w = normalize(jax.lax.stop_gradient(wi_w), eps=_TINY)
     return wi_w, ok, lam_out
 
@@ -307,11 +351,19 @@ def pdf(mp, wo_w, wi_w, ng, ns, lam):
                   / jnp.maximum((whdi + whdo / eta_ratio) ** 2, _TINY) * pt)))
     p_die = jnp.where(degenerate | backfacing_wh, 0.0, p_die)
 
+    # volumetric: HG phase pdf (reference ``bxdf/volumetric.rs:48-63``)
+    g = mp["hg_g"]
+    g2 = g * g
+    ct_v = dot(normalize(wo_w, eps=_TINY), normalize(wi_w, eps=_TINY))
+    den_v = 1.0 + g2 + 2.0 * g * ct_v
+    p_vol = (1.0 - g2) / jnp.maximum(4.0 * PI * den_v * safe_sqrt(den_v), _TINY)
+
     refl_ok = reflection
     out = jnp.where(kind == LAMBERTIAN, jnp.where(refl_ok, p_cos, 0.0),
           jnp.where(kind == MF_DIFFUSE, jnp.where(refl_ok, p_diff, 0.0),
           jnp.where(kind == MF_CONDUCTOR, jnp.where(refl_ok, p_cond, 0.0),
-          jnp.where(kind == MF_DIELECTRIC, p_die, 0.0))))
+          jnp.where(kind == MF_DIELECTRIC, p_die,
+          jnp.where(kind == VOLUMETRIC, p_vol, 0.0)))))
     return jnp.where(jnp.isfinite(out), out, 0.0)
 
 

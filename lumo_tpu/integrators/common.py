@@ -49,13 +49,13 @@ def mis_weight_and_contrib(scene, mp, wo, wi, hit, light_hit, lam,
     return jnp.where(ok[..., None], contrib, 0.0)
 
 
-def _shadow_branch(scene, mp, wo, wi, hit, light, lam, light_sampled):
+def _shadow_branch(scene, mp, wo, wi, hit, light, lam, light_sampled, key):
     """Common tail of both NEE branches: trace to the chosen light, check
     occlusion, compute both pdfs, MIS-combine."""
     o = geo.offset_ray_origin(hit["p"], hit["err"], hit["ng"], wi)
     lh = trace.light_hit(scene, light, o, wi)
     t_max = (lh["t"] - epsilon()) * (1.0 - 8.0 * jnp.finfo(o.dtype).eps)
-    occ = trace.occluded(scene, o, wi, t_max)
+    occ = trace.occluded(scene, o, wi, t_max, key=key)
     visible = lh["valid"] & ~occ
     p_lig = trace.sample_towards_pdf(scene, light, o, wi, lh["p"], lh["ng"])
     p_sct = bsdf.pdf(mp, wo, wi, hit["ng"], hit["ns"], lam)
@@ -68,7 +68,7 @@ def single_shadow_ray(scene, mp, wo, hit, lam, key):
     """One NEE estimate (reference ``integrator.rs:87-137``): sample the
     light + sample the BSDF, MIS both, divide by the light-choice pdf."""
     N = wo.shape[0]
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
     u_light = jax.random.uniform(k1, (N,))
     light, pdf_light = trace.sample_light(scene, u_light)
 
@@ -76,13 +76,13 @@ def single_shadow_ray(scene, mp, wo, hit, lam, key):
     u_sq = jax.random.uniform(k2, (N, 2))
     wi_a = trace.sample_towards(scene, light, hit["p"], u_sq)
     wi_a = jax.lax.stop_gradient(wi_a)
-    contrib_a = _shadow_branch(scene, mp, wo, wi_a, hit, light, lam, True)
+    contrib_a = _shadow_branch(scene, mp, wo, wi_a, hit, light, lam, True, k5)
 
     # branch B: sample the BSDF
     u_lobe = jax.random.uniform(k3, (N,))
     u_sq2 = jax.random.uniform(k4, (N, 2))
     wi_b, ok_b, _ = bsdf.sample(mp, wo, hit["ns"], hit["backface"], lam, u_lobe, u_sq2)
-    contrib_b = _shadow_branch(scene, mp, wo, wi_b, hit, light, lam, False)
+    contrib_b = _shadow_branch(scene, mp, wo, wi_b, hit, light, lam, False, k6)
     contrib_b = jnp.where(ok_b[..., None], contrib_b, 0.0)
 
     return (contrib_a + contrib_b) / jnp.maximum(pdf_light[..., None], _TINY)

@@ -39,29 +39,34 @@ def integrate(scene, o, d, lam, key, max_depth=MAX_RECURSION):
         return jnp.any(s["alive"]) & (s["bounce"] <= max_depth)
 
     def body(s):
-        key, k_nee, k_lobe, k_sq = jax.random.split(s["key"], 4)
-        hit = trace.intersect(scene, s["o"], s["d"])
+        key, k_nee, k_lobe, k_sq, k_med = jax.random.split(s["key"], 5)
+        hit = trace.intersect(scene, s["o"], s["d"], key=k_med)
         alive = s["alive"] & hit["valid"]
         wo = -s["d"]
         lam = s["lam"]
+        # per-segment medium transmittance (reference ``direct_light.rs:17``)
+        tr_seg = trace.transmittance(scene, lam, hit["t"])
+        gathered0 = s["gathered"] * jnp.where(alive[..., None], tr_seg, 1.0)
 
-        mp = bsdf.gather_params(scene.materials, hit["mat"], lam, hit["uv"])
+        mp = bsdf.gather_params(scene.materials, hit["mat"], lam, hit["uv"],
+                                scene.textures, scene.tex_kinds, t=hit["t"])
         u_lobe = jax.random.uniform(k_lobe, (N,))
         u_sq = jax.random.uniform(k_sq, (N, 2))
         wi, sample_ok, lam2 = bsdf.sample(mp, wo, hit["ns"], hit["backface"],
                                           lam, u_lobe, u_sq)
-        mp2 = bsdf.gather_params(scene.materials, hit["mat"], lam2, hit["uv"])
+        mp2 = bsdf.gather_params(scene.materials, hit["mat"], lam2, hit["uv"],
+                                 scene.textures, scene.tex_kinds, t=hit["t"])
 
         # lights terminate with unconditional emission
         # (reference ``direct_light.rs:22-25``)
         emit = trace.emitted(scene, hit["mat"], lam, hit["uv"], hit["backface"])
         add_emit = alive & ~sample_ok
         radiance = s["radiance"] + jnp.where(add_emit[..., None],
-                                             s["gathered"] * emit, 0.0)
+                                             gathered0 * emit, 0.0)
         alive = alive & sample_ok
 
         # non-specular: single NEE then stop (reference ``direct_light.rs:27-36``)
-        nee = common.shadow_rays(scene, mp2, wo, s["gathered"], hit, lam2, k_nee)
+        nee = common.shadow_rays(scene, mp2, wo, gathered0, hit, lam2, k_nee)
         stop_nee = alive & ~mp["is_specular"]
         radiance = radiance + jnp.where(stop_nee[..., None], nee, 0.0)
         alive = alive & mp["is_specular"]
@@ -75,9 +80,12 @@ def integrate(scene, o, d, lam, key, max_depth=MAX_RECURSION):
         p_safe = jnp.where(alive, p_sct, 1.0)
         f_val = bsdf.f(mp2, wo, wi, hit["ng"], hit["ns"], hit["backface"],
                        lam2, RADIANCE)
+        # medium pdf cancellation (reference ``direct_light.rs:54-60``)
+        f_val = jnp.where(hit["is_medium"][..., None],
+                          f_val * p_safe[..., None], f_val)
         f_val = jnp.where(alive[..., None], f_val, 0.0)
         cosine = bsdf.shading_cosine(mp2, wi, hit["ns"])
-        gathered = s["gathered"] * f_val * (cosine / p_safe)[..., None]
+        gathered = gathered0 * f_val * (cosine / p_safe)[..., None]
 
         return {
             "o": jnp.where(alive[..., None], ro, s["o"]),

@@ -54,18 +54,21 @@ def integrate(scene, o, d, lam, key, delta=1.0, max_depth=MAX_DEPTH,
         return jnp.any(s["alive"]) & (s["bounce"] < max_depth)
 
     def body(s):
-        key, k_nee, k_lobe, k_sq, k_rr = jax.random.split(s["key"], 5)
-        hit = trace.intersect(scene, s["o"], s["d"])
+        key, k_nee, k_lobe, k_sq, k_rr, k_med = jax.random.split(s["key"], 6)
+        hit = trace.intersect(scene, s["o"], s["d"], key=k_med)
         alive = s["alive"] & hit["valid"]
         wo = -s["d"]
         lam = s["lam"]
+        # per-segment medium transmittance (reference ``path_trace.rs:20``)
+        tr_seg = trace.transmittance(scene, lam, hit["t"])
+        gathered0 = s["gathered"] * jnp.where(alive[..., None], tr_seg, 1.0)
 
         # dispersion terminates hero wavelengths BEFORE the single param
         # gather, so one gather serves sampling, NEE and eval
         lam2 = wavelength.terminate(lam, bsdf.dispersive_mask(scene.materials,
                                                               hit["mat"]))
         mp = bsdf.gather_params(scene.materials, hit["mat"], lam2, hit["uv"],
-                        scene.textures, scene.tex_kinds)
+                        scene.textures, scene.tex_kinds, t=hit["t"])
         mp2 = mp
 
         u_lobe = jax.random.uniform(k_lobe, (N,))
@@ -78,11 +81,11 @@ def integrate(scene, o, d, lam, key, delta=1.0, max_depth=MAX_DEPTH,
         emit = trace.emitted(scene, hit["mat"], lam, hit["uv"], hit["backface"])
         add_emit = alive & ~sample_ok & s["last_specular"]
         radiance = s["radiance"] + jnp.where(add_emit[..., None],
-                                             s["gathered"] * emit, 0.0)
+                                             gathered0 * emit, 0.0)
         alive = alive & sample_ok
 
         # NEE at non-delta vertices (reference ``path_trace.rs:30-40``)
-        nee = common.shadow_rays(scene, mp2, wo, s["gathered"], hit, lam2, k_nee)
+        nee = common.shadow_rays(scene, mp2, wo, gathered0, hit, lam2, k_nee)
         do_nee = alive & ~mp["is_delta"]
         radiance = radiance + jnp.where(do_nee[..., None], nee, 0.0)
 
@@ -95,9 +98,13 @@ def integrate(scene, o, d, lam, key, delta=1.0, max_depth=MAX_DEPTH,
         p_safe = jnp.where(alive, p_sct, 1.0)
         f_val = bsdf.f(mp2, wo, wi, hit["ng"], hit["ns"], hit["backface"],
                        lam2, RADIANCE)
+        # mediums are assumed sampled perfectly per the phase function, so
+        # the pdf cancels (reference ``path_trace.rs:52-58``)
+        f_val = jnp.where(hit["is_medium"][..., None],
+                          f_val * p_safe[..., None], f_val)
         f_val = jnp.where(alive[..., None], f_val, 0.0)
         cosine = bsdf.shading_cosine(mp2, wi, hit["ns"])
-        gathered = s["gathered"] * f_val * (cosine / p_safe)[..., None]
+        gathered = gathered0 * f_val * (cosine / p_safe)[..., None]
 
         # russian roulette after RR_DEPTH (reference ``path_trace.rs:65-72``)
         lum = space.luminance(gathered, lam2)

@@ -187,6 +187,9 @@ def pack_materials(mats: list) -> dict:
         "emit_scale": np.array([m.emit_scale for m in mats], np.float32),
         "two_sided": np.array([m.two_sided for m in mats], bool),
         "hg_g": np.array([m.hg_g for m in mats], np.float32),
+        "t_scale": np.array([m.t_scale for m in mats], np.float32),
+        "sigma_t": np.stack([m.sigma_t for m in mats]).astype(np.float32),
+        "sigma_s": np.stack([m.sigma_s for m in mats]).astype(np.float32),
         "kd_tex": np.array([m.kd_tex for m in mats], np.int32),
         "ks_tex": np.array([m.ks_tex for m in mats], np.int32),
         "tf_tex": np.array([m.tf_tex for m in mats], np.int32),

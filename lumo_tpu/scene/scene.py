@@ -56,6 +56,8 @@ class SceneData:
     textures: Any
     # BVH over triangles (dict of arrays) or None (brute force)
     bvh: Any
+    # homogeneous participating medium (dict of arrays) or None
+    medium: Any
     # world bounds (2, 3)
     bounds: Any
     # static metadata
@@ -180,6 +182,16 @@ class SceneBuilder:
         enclosing the scene (reference ``scene.rs:38-45``)."""
         self.environment = mat
 
+    def set_medium(self, absorption, scattering, g: float):
+        """Fill the scene with a homogeneous participating medium
+        (reference ``Scene::set_medium`` / ``Medium::new``,
+        ``medium.rs:32-57``): σt = uplift(absorption + scattering),
+        σs = uplift(scattering), HG parameter g ∈ (-1, 1).  The world is
+        scaled into a unit cube via t_scale = 1/extent.max at build."""
+        assert -1.0 < g < 1.0
+        self.medium = (np.asarray(absorption, np.float64),
+                       np.asarray(scattering, np.float64), float(g))
+
     # ---- build ----
     def build(self, dtype=np.float32) -> SceneData:
         if self.environment is not None:
@@ -255,6 +267,22 @@ class SceneBuilder:
 
         ju = lambda x: jnp.asarray(x)
         jf = lambda x: jnp.asarray(np.asarray(x), dtype)
+
+        # ---- medium (reference ``medium.rs:32-57``): t_scale fits the
+        #      world into a unit cube; the phase material is one more row ----
+        mats = list(self._materials)
+        medium_dev = None
+        if self.medium is not None:
+            ab, sc, g = self.medium
+            extent = np.maximum(hi - lo, 1e-12)
+            t_scale = 1.0 / float(extent.max())
+            med_mat = Material.volumetric(g, t_scale, sc + ab, sc)
+            medium_dev = {
+                "sigma_t": jf(med_mat.sigma_t), "sigma_s": jf(med_mat.sigma_s),
+                "g": jnp.asarray(g, dtype), "t_scale": jnp.asarray(t_scale, dtype),
+                "mat": jnp.asarray(len(mats), jnp.int32),
+            }
+            mats.append(med_mat)
         bvh_dev = None
         if bvh is not None:
             bvh_dev = {"lo": jf(bvh.node_lo), "hi": jf(bvh.node_hi),
@@ -271,9 +299,10 @@ class SceneBuilder:
             alias_idx=ju(np.asarray(alias_idx, np.int32)),
             prim_light=ju(prim_light),
             materials={k: (jf(v) if v.dtype in (np.float32, np.float64) else ju(v))
-                       for k, v in pack_materials(self._materials).items()},
+                       for k, v in pack_materials(mats).items()},
             textures=self.textures.pack(dtype),
             bvh=bvh_dev,
+            medium=medium_dev,
             tex_kinds=tuple(sorted({r["kind"] for r in self.textures.rows})),
             n_normal_maps=len(self.textures.normal_images),
             bounds=jf(np.stack([lo, hi])),

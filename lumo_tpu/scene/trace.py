@@ -10,9 +10,10 @@ Sampleable light methods (``object.rs:96-157``, ``triangle.rs:215-241``,
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-from lumo_tpu.color import dense, uplift
+from lumo_tpu.color import dense, uplift, wavelength
 from lumo_tpu.config import INF
 from lumo_tpu.geometry import intersect as geo
 from lumo_tpu.geometry.onb import dot, normalize, onb_frame
@@ -68,8 +69,24 @@ def _closest(scene: SceneData, o, d, t_max):
     return t, prim
 
 
-def intersect(scene: SceneData, o, d, t_max=None):
-    """Closest hit for a wavefront. o, d: (N, 3). Returns a hit dict."""
+def _medium_free_flight(scene: SceneData, key, shape):
+    """Sample a medium free-flight distance (world units) per lane
+    (reference ``medium.rs:99-127``): density at one uniformly sampled
+    wavelength, exponential flight scaled by t_scale.  Returns
+    (t_med, has_density)."""
+    med = scene.medium
+    u = jax.random.uniform(key, shape + (2,))
+    lam_u = wavelength.sample_uniform_one(u[..., 0])
+    density = uplift.sample(med["sigma_t"][None, :], lam_u[..., None])[..., 0]
+    inside_t = -jnp.log(jnp.maximum(1.0 - u[..., 1], 1e-30)) \
+        / jnp.maximum(density, 1e-30)
+    return inside_t / med["t_scale"], density > 0.0
+
+
+def intersect(scene: SceneData, o, d, t_max=None, key=None):
+    """Closest hit for a wavefront. o, d: (N, 3). Returns a hit dict.
+    ``key`` drives the medium free-flight sampling (required when the
+    scene has a medium, reference ``scene.rs:118-147``)."""
     N = o.shape[0]
     if t_max is None:
         t_max = INF
@@ -110,17 +127,47 @@ def intersect(scene: SceneData, o, d, t_max=None):
         n_tan = texture_mod.normal_at(scene.textures, nm, det["uv"])
         ns2 = normalize(onb_mod.to_world(det["ns"], n_tan))
         det["ns"] = jnp.where((nm >= 0)[..., None], ns2, det["ns"])
-    return {
+    out = {
         "valid": valid, "t": jnp.where(valid, t, INF), "prim": prim, "mat": mat,
         "p": det["p"], "ng": det["ng"], "ns": det["ns"], "uv": det["uv"],
         "err": det["err"], "backface": backface,
         "light": scene.prim_light[jnp.clip(prim, 0, scene.prim_light.shape[0] - 1)],
         "is_medium": jnp.zeros(N, bool),
     }
+    if scene.medium is not None:
+        assert key is not None, "scene has a medium: intersect needs a key"
+        t_med, has_density = _medium_free_flight(scene, key, o.shape[:-1])
+        p_med = o + t_med[..., None] * d
+        in_bounds = jnp.all((p_med >= scene.bounds[0])
+                            & (p_med <= scene.bounds[1]), axis=-1)
+        m = has_density & (t_med > 0.0) & (t_med < out["t"]) & in_bounds
+        # pseudo-hit with Z normals; shading_cosine cancels the dot
+        # (reference ``medium.rs:75-96``)
+        z = jnp.zeros_like(o).at[..., 2].set(1.0)
+        out = {**out,
+               "valid": out["valid"] | m,
+               "t": jnp.where(m, t_med, out["t"]),
+               "mat": jnp.where(m, scene.medium["mat"], out["mat"]),
+               "p": jnp.where(m[..., None], p_med, out["p"]),
+               "ng": jnp.where(m[..., None], z, out["ng"]),
+               "ns": jnp.where(m[..., None], z, out["ns"]),
+               "uv": jnp.where(m[..., None], 0.0, out["uv"]),
+               "err": jnp.where(m[..., None], 0.0, out["err"]),
+               "backface": out["backface"] & ~m,
+               "light": jnp.where(m, -1, out["light"]),
+               "is_medium": m}
+    return out
 
 
-def occluded(scene: SceneData, o, d, t_max):
-    """Any-hit within (0, t_max). t_max: (N,)."""
+def occluded(scene: SceneData, o, d, t_max, key=None):
+    """Any-hit within (0, t_max). t_max: (N,).  A medium stochastically
+    blocks shadow rays by free-flight sampling
+    (reference ``scene.rs:171-177``)."""
+    med_occ = None
+    if scene.medium is not None:
+        assert key is not None, "scene has a medium: occluded needs a key"
+        t_med, has_density = _medium_free_flight(scene, key, o.shape[:-1])
+        med_occ = has_density & (t_med > 0.0) & (t_med < t_max)
     if scene.bvh is not None:
         from lumo_tpu.accel import traverse
         occ = traverse.any_hit(scene.bvh, (scene.tri_a, scene.tri_b, scene.tri_c),
@@ -129,9 +176,10 @@ def occluded(scene: SceneData, o, d, t_max):
             t_sph = geo.sphere_t(o, d, scene.sph_center[None],
                                  scene.sph_radius[None], 0.0, t_max[..., None])
             occ = occ | jnp.any(jnp.isfinite(t_sph), axis=-1)
-        return occ
+        return occ if med_occ is None else occ | med_occ
     ts = _all_t(scene, o, d, 0.0, t_max[..., None])
-    return jnp.any(jnp.isfinite(ts), axis=-1)
+    occ = jnp.any(jnp.isfinite(ts), axis=-1)
+    return occ if med_occ is None else occ | med_occ
 
 
 # ---------------------------------------------------------------------------
@@ -182,6 +230,9 @@ def _light_geom(scene: SceneData, light):
         out["a"] = scene.tri_a[tidx]
         out["b"] = scene.tri_b[tidx]
         out["c"] = scene.tri_c[tidx]
+        out["na"] = scene.tri_na[tidx]
+        out["nb"] = scene.tri_nb[tidx]
+        out["nc"] = scene.tri_nc[tidx]
         out["mat_tri"] = scene.tri_mat[tidx]
     if scene.n_spheres:
         out["center"] = scene.sph_center[sidx]
@@ -237,6 +288,83 @@ def sample_towards(scene: SceneData, light, xo, u):
     else:
         wi = wi_sph
     return wi
+
+
+def light_area(scene: SceneData, light):
+    """Surface area of light `light` (reference ``object.rs:99-100``)."""
+    g = _light_geom(scene, light)
+    if scene.n_tris:
+        area_t = 0.5 * jnp.linalg.norm(
+            jnp.cross(g["b"] - g["a"], g["c"] - g["a"]), axis=-1)
+    if scene.n_spheres:
+        area_s = 4.0 * PI * g["radius"] ** 2
+    if scene.n_tris and scene.n_spheres:
+        return jnp.where(g["is_tri"], area_t, area_s)
+    return area_t if scene.n_tris else area_s
+
+
+def sample_on(scene: SceneData, light, u):
+    """Uniform point on light `light` (reference ``triangle.rs:215-241``
+    sqrt-warp barycentrics / ``sphere.rs:111-130`` uniform sphere).
+    Returns (p, ng, ns, err, mat)."""
+    from lumo_tpu.config import gamma_bound
+    from lumo_tpu.sampling import maps
+    g = _light_geom(scene, light)
+    if scene.n_tris:
+        gamma = 1.0 - jnp.sqrt(jnp.maximum(0.0, 1.0 - u[..., 0]))
+        beta = u[..., 1] * (1.0 - gamma)
+        e1 = g["b"] - g["a"]
+        e2 = g["c"] - g["a"]
+        p_t = g["a"] + beta[..., None] * e1 + gamma[..., None] * e2
+        ng_t = normalize(jnp.cross(e1, e2))
+        # interpolated shading normal when per-vertex normals exist
+        # (reference ``triangle.rs:48-60``)
+        alpha = 1.0 - beta - gamma
+        ns_raw = (alpha[..., None] * g["na"] + beta[..., None] * g["nb"]
+                  + gamma[..., None] * g["nc"])
+        has_ns = jnp.sum(ns_raw * ns_raw, axis=-1) > 1e-12
+        ns_t = jnp.where(has_ns[..., None], normalize(ns_raw, eps=1e-30), ng_t)
+        err_t = gamma_bound(6) * (jnp.abs(g["a"]) + jnp.abs(beta[..., None] * e1)
+                                  + jnp.abs(gamma[..., None] * e2))
+        mat_t = g["mat_tri"]
+    if scene.n_spheres:
+        sph = maps.square_to_sphere(u)
+        p_s = g["center"] + sph * g["radius"][..., None]
+        ng_s = sph
+        err_s = gamma_bound(5) * jnp.abs(p_s)
+        mat_s = g["mat_sph"]
+    if scene.n_tris and scene.n_spheres:
+        it = g["is_tri"]
+        p = jnp.where(it[..., None], p_t, p_s)
+        ng = jnp.where(it[..., None], ng_t, ng_s)
+        ns = jnp.where(it[..., None], ns_t, ng_s)
+        err = jnp.where(it[..., None], err_t, err_s)
+        mat = jnp.where(it, mat_t, mat_s)
+    elif scene.n_tris:
+        p, ng, ns, err, mat = p_t, ng_t, ns_t, err_t, mat_t
+    else:
+        p, ng, ns, err, mat = p_s, ng_s, ng_s, err_s, mat_s
+    return p, ng, ns, err, mat
+
+
+def sample_leaving(scene: SceneData, light, u0, u1):
+    """Ray leaving the light: uniform surface point + cos-weighted
+    hemisphere direction about ns (reference ``object.rs:104-117``).
+    Returns (o, d, ng, ns, err, mat)."""
+    from lumo_tpu.geometry import onb as onb_mod
+    from lumo_tpu.sampling import maps
+    p, ng, ns, err, mat = sample_on(scene, light, u0)
+    wi_local = maps.square_to_cos_hemisphere(u1)
+    d = onb_mod.to_world(ns, wi_local)
+    return p, normalize(d), ng, ns, err, mat
+
+
+def sample_leaving_pdf(scene: SceneData, light, d, ng):
+    """(pdf_origin, pdf_dir) of `sample_leaving`
+    (reference ``object.rs:119-127``: 1/area, cosθ/π — unclamped)."""
+    pdf_origin = 1.0 / jnp.maximum(light_area(scene, light), 1e-30)
+    pdf_dir = dot(ng, d) / PI
+    return pdf_origin, pdf_dir
 
 
 def light_hit(scene: SceneData, light, o, d):
@@ -305,6 +433,14 @@ def sample_towards_pdf(scene: SceneData, light, o, d, xi, ng):
 
 
 def transmittance(scene: SceneData, lam, t):
-    """Medium transmittance along distance t — identity until volumetric
-    media land (reference ``scene.rs:111-116``)."""
-    return jnp.ones(lam.shape, lam.dtype)
+    """Medium transmittance over distance t, normalized by its
+    wavelength-mean (the distance-sampling pdf estimate, reference
+    ``medium.rs:59-73`` / ``scene.rs:111-116``)."""
+    if scene.medium is None:
+        return jnp.ones(lam.shape, lam.dtype)
+    med = scene.medium
+    td = jnp.where(jnp.isfinite(t), t, 0.0) * med["t_scale"]
+    sig = uplift.sample(med["sigma_t"][None, :], lam)
+    tr = jnp.exp(-sig * td[..., None])
+    p = jnp.mean(tr, axis=-1, keepdims=True)
+    return jnp.where(p > 0.0, tr / jnp.maximum(p, 1e-30), 1.0)
