@@ -20,7 +20,7 @@ import numpy as np
 from lumo_tpu import film as film_mod
 from lumo_tpu.camera import Camera
 from lumo_tpu.color import wavelength
-from lumo_tpu.integrators import direct_light, path_trace
+from lumo_tpu.integrators import bdpt, direct_light, path_trace
 from lumo_tpu.sampling import samplers
 from lumo_tpu.scene.scene import SceneData
 
@@ -105,8 +105,11 @@ class Renderer:
             integrator = functools.partial(path_trace.integrate, delta=self._delta)
         elif self._integrator == DIRECT_LIGHT:
             integrator = direct_light.integrate
+        elif self._integrator == BD_PATH_TRACE:
+            integrator = None  # handled inline below (returns splats too)
         else:
             raise ValueError(f"unknown integrator {self._integrator}")
+        is_bdpt = self._integrator == BD_PATH_TRACE
         w, h = camera.resolution
         wbm = jnp.asarray(film_mod.wb_matrix(self._colorspace, self._illuminant),
                           jnp.float32)
@@ -137,10 +140,23 @@ class Renderer:
             u_dof = jax.random.uniform(k_dof, (N, 2))
             o, d = camera.generate_ray(raster, u_dof)
 
-            radiance, lam_out, depth = integrator(scene, o, d, lam, k_int)
+            if is_bdpt:
+                radiance, lam_out, sr, sc, sm, depth = bdpt.integrate(
+                    scene, camera, o, d, lam, k_int, delta=delta)
+            else:
+                radiance, lam_out, depth = integrator(scene, o, d, lam, k_int)
             color = film_mod.tone_map(tone_kind, radiance, lam_out, tone_arg)
             rgb = film_mod.spectral_to_rgb(color, lam_out, wbm)
             film = film_mod.add_samples(film, filt, raster, rgb, (w, h))
+            if is_bdpt and sr.shape[0]:
+                # light-traced splats land at their own raster coords
+                # (reference ``film/tile.rs:96-111``)
+                reps = sr.shape[0] // N
+                lam_s = jnp.tile(lam_out, (reps, 1))
+                sc = film_mod.tone_map(tone_kind, sc, lam_s, tone_arg)
+                rgb_s = film_mod.spectral_to_rgb(sc, lam_s, wbm)
+                film = film_mod.add_samples(film, filt, sr, rgb_s, (w, h),
+                                            splat=True, mask=sm)
             rays = jnp.sum(depth) + N
             return film, rays
 
