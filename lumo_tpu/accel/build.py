@@ -108,10 +108,27 @@ MEDIAN_DEPTH = 32  # force balanced median splits below this depth — bounds
                    # total depth by MEDIAN_DEPTH + log2(P) (device stack size)
 
 
-def build(prim_lo: np.ndarray, prim_hi: np.ndarray) -> BVH:
-    """Build from per-primitive AABBs (P, 3) each."""
+def build(prim_lo: np.ndarray, prim_hi: np.ndarray, use_native=None) -> BVH:
+    """Build from per-primitive AABBs (P, 3) each.
+
+    Uses the native C++ builder (``lumo_tpu/native``) when it is available
+    and the scene is big enough to amortize the call; ``use_native``
+    forces the choice either way.
+    """
     P = len(prim_lo)
     assert P > 0
+    if use_native is None:
+        use_native = P >= 4096
+    if use_native:
+        from lumo_tpu import native
+        res = native.build_bvh(np.asarray(prim_lo), np.asarray(prim_hi))
+        if res is not None:
+            (node_lo, node_hi, node_right, node_first, node_count,
+             node_axis, order, depth) = res
+            return BVH(node_lo=node_lo, node_hi=node_hi,
+                       node_right=node_right, node_first=node_first,
+                       node_count=node_count, node_axis=node_axis,
+                       order=order, depth=depth)
     prim_lo = np.asarray(prim_lo, np.float64)
     prim_hi = np.asarray(prim_hi, np.float64)
     cent = 0.5 * (prim_lo + prim_hi)
