@@ -68,6 +68,19 @@ class Mesh:
         self.uv_idx = None if uv_idx is None else np.asarray(uv_idx, np.int64)
         self.m = np.eye(4)
 
+    def clone(self) -> "Mesh":
+        """Shallow-share geometry, private transform (reference
+        ``Instance::clone`` + ``Arc``, ``instance.rs:5-15``)."""
+        m = Mesh.__new__(Mesh)
+        m.vertices = self.vertices
+        m.faces = self.faces
+        m.normals = self.normals
+        m.normal_idx = self.normal_idx
+        m.uvs = self.uvs
+        m.uv_idx = self.uv_idx
+        m.m = self.m.copy()
+        return m
+
     # ---- fluent transforms (applied AFTER current, reference semantics) --
     def apply(self, t):
         self.m = np.asarray(t, np.float64) @ self.m
