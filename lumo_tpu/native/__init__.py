@@ -20,7 +20,8 @@ import threading
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "bvh_builder.cpp")
+_SRCS = [os.path.join(_DIR, "bvh_builder.cpp"),
+         os.path.join(_DIR, "kdtree_builder.cpp")]
 _SO = os.path.join(_DIR, "_lumo_native.so")
 _lock = threading.Lock()
 _lib = None
@@ -29,7 +30,7 @@ _tried = False
 
 def _compile() -> bool:
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-pthread", _SRC, "-o", _SO + ".tmp"]
+           "-pthread", *_SRCS, "-o", _SO + ".tmp"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(_SO + ".tmp", _SO)
@@ -45,8 +46,8 @@ def load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or (
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        if not os.path.exists(_SO) or any(
+                os.path.getmtime(_SO) < os.path.getmtime(s) for s in _SRCS):
             if not _compile():
                 return None
         try:
@@ -61,6 +62,17 @@ def load():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.lumo_build_kdtree.restype = ctypes.c_int
+        lib.lumo_build_kdtree.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32),
         ]
         _lib = lib
@@ -98,3 +110,47 @@ def build_bvh(prim_lo: np.ndarray, prim_hi: np.ndarray):
     M = n_nodes.value
     return (node_lo[:M], node_hi[:M], node_right[:M], node_first[:M],
             node_count[:M], node_axis[:M], order, int(max_depth.value))
+
+
+def build_kdtree(prim_lo: np.ndarray, prim_hi: np.ndarray):
+    """Native Wald-Havran SAH kd-tree build.  Returns (split, axis, right,
+    first, count, prims, root_lo, root_hi, max_depth) or None when the
+    native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    P = len(prim_lo)
+    lo = np.ascontiguousarray(prim_lo, np.float32)
+    hi = np.ascontiguousarray(prim_hi, np.float32)
+    node_cap = max(8 * P, 64)
+    ref_cap = max(16 * P, 1024)
+    for _ in range(3):
+        split = np.empty(node_cap, np.float32)
+        axis = np.empty(node_cap, np.int32)
+        right = np.empty(node_cap, np.int32)
+        first = np.empty(node_cap, np.int32)
+        count = np.empty(node_cap, np.int32)
+        prims = np.empty(ref_cap, np.int32)
+        root_lo = np.empty(3, np.float32)
+        root_hi = np.empty(3, np.float32)
+        n_nodes = ctypes.c_int64(0)
+        n_refs = ctypes.c_int64(0)
+        max_depth = ctypes.c_int32(0)
+        fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        ip = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        rc = lib.lumo_build_kdtree(
+            fp(lo), fp(hi), ctypes.c_int64(P),
+            ctypes.c_int64(node_cap), ctypes.c_int64(ref_cap),
+            fp(split), ip(axis), ip(right), ip(first), ip(count), ip(prims),
+            fp(root_lo), fp(root_hi),
+            ctypes.byref(n_nodes), ctypes.byref(n_refs),
+            ctypes.byref(max_depth))
+        if rc == 0:
+            M, R = n_nodes.value, n_refs.value
+            return (split[:M], axis[:M], right[:M], first[:M], count[:M],
+                    prims[:R], root_lo, root_hi, int(max_depth.value))
+        if rc != 2:
+            return None
+        node_cap *= 4
+        ref_cap *= 4
+    return None

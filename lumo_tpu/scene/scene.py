@@ -56,6 +56,9 @@ class SceneData:
     textures: Any
     # BVH over triangles (dict of arrays) or None (brute force)
     bvh: Any
+    # kd-tree over triangles (dict of arrays) or None; when set it is the
+    # triangle accelerator (reference Mesh = KdTree, ``kdtree.rs:9``)
+    kdtree: Any
     # homogeneous participating medium (dict of arrays) or None
     medium: Any
     # world bounds (2, 3)
@@ -193,7 +196,9 @@ class SceneBuilder:
                        np.asarray(scattering, np.float64), float(g))
 
     # ---- build ----
-    def build(self, dtype=np.float32) -> SceneData:
+    def build(self, dtype=np.float32, accel: str = "bvh") -> SceneData:
+        """``accel``: "bvh" (default), "kdtree" (reference-style SAH
+        kd-tree over the triangle soup), or "none" (brute force)."""
         if self.environment is not None:
             lo, hi = self._host_bounds()
             center = 0.5 * (lo + hi)
@@ -221,9 +226,12 @@ class SceneBuilder:
         S = len(self._spheres)
         P = T + S
 
-        # ---- BVH over triangles (permutes them into leaf order) ----
+        # ---- triangle accelerator: BVH (permutes triangles into leaf
+        #      order) or SAH kd-tree (leaves point through an indirection
+        #      list; triangle order untouched) ----
         bvh = None
-        if T >= BVH_THRESHOLD:
+        kdt = None
+        if T >= BVH_THRESHOLD and accel == "bvh":
             from lumo_tpu.accel import build as accel_build
             lo_t, hi_t = accel_build.triangle_bounds(tri["a"], tri["b"], tri["c"])
             bvh = accel_build.build(lo_t, hi_t)
@@ -231,6 +239,11 @@ class SceneBuilder:
             tri = {k: v[order] for k, v in tri.items()}
             tri_mat = tri_mat[order]
             tri_is_light = tri_is_light[order]
+        elif T >= BVH_THRESHOLD and accel == "kdtree":
+            from lumo_tpu.accel import build as accel_build
+            from lumo_tpu.accel import kdtree as accel_kd
+            lo_t, hi_t = accel_build.triangle_bounds(tri["a"], tri["b"], tri["c"])
+            kdt = accel_kd.build(lo_t, hi_t)
 
         sph_center = (np.stack([s[0] for s in self._spheres]) if S
                       else np.zeros((0, 3)))
@@ -288,6 +301,12 @@ class SceneBuilder:
             bvh_dev = {"lo": jf(bvh.node_lo), "hi": jf(bvh.node_hi),
                        "right": ju(bvh.node_right), "first": ju(bvh.node_first),
                        "count": ju(bvh.node_count), "axis": ju(bvh.node_axis)}
+        kd_dev = None
+        if kdt is not None:
+            kd_dev = {"split": jf(kdt.split), "axis": ju(kdt.axis),
+                      "right": ju(kdt.right), "first": ju(kdt.first),
+                      "count": ju(kdt.count), "prims": ju(kdt.prims),
+                      "lo": jf(kdt.root_lo), "hi": jf(kdt.root_hi)}
         return SceneData(
             tri_a=jf(tri["a"]), tri_b=jf(tri["b"]), tri_c=jf(tri["c"]),
             tri_na=jf(tri["na"]), tri_nb=jf(tri["nb"]), tri_nc=jf(tri["nc"]),
@@ -302,6 +321,7 @@ class SceneBuilder:
                        for k, v in pack_materials(mats).items()},
             textures=self.textures.pack(dtype),
             bvh=bvh_dev,
+            kdtree=kd_dev,
             medium=medium_dev,
             tex_kinds=tuple(sorted({r["kind"] for r in self.textures.rows})),
             n_normal_maps=len(self.textures.normal_images),

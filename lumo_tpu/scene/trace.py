@@ -48,11 +48,16 @@ def _closest(scene: SceneData, o, d, t_max):
     """(t, global prim id) closest hit; BVH traversal for triangles when
     built, dense otherwise; spheres always dense (they are few)."""
     N = o.shape[0]
-    if scene.bvh is not None:
+    if scene.bvh is not None or scene.kdtree is not None:
         from lumo_tpu.accel import traverse
-        t_tri, p_tri = traverse.closest_hit(
-            scene.bvh, (scene.tri_a, scene.tri_b, scene.tri_c), o, d,
-            t_max=t_max)
+        if scene.kdtree is not None:
+            t_tri, p_tri = traverse.kd_closest_hit(
+                scene.kdtree, (scene.tri_a, scene.tri_b, scene.tri_c), o, d,
+                t_max=t_max)
+        else:
+            t_tri, p_tri = traverse.closest_hit(
+                scene.bvh, (scene.tri_a, scene.tri_b, scene.tri_c), o, d,
+                t_max=t_max)
         t, prim = t_tri, jnp.where(p_tri < 0, 0, p_tri)
         if scene.n_spheres:
             t_sph = geo.sphere_t(o, d, scene.sph_center[None],
@@ -168,10 +173,16 @@ def occluded(scene: SceneData, o, d, t_max, key=None):
         assert key is not None, "scene has a medium: occluded needs a key"
         t_med, has_density = _medium_free_flight(scene, key, o.shape[:-1])
         med_occ = has_density & (t_med > 0.0) & (t_med < t_max)
-    if scene.bvh is not None:
+    if scene.bvh is not None or scene.kdtree is not None:
         from lumo_tpu.accel import traverse
-        occ = traverse.any_hit(scene.bvh, (scene.tri_a, scene.tri_b, scene.tri_c),
-                               o, d, t_max=t_max)
+        if scene.kdtree is not None:
+            occ = traverse.kd_any_hit(
+                scene.kdtree, (scene.tri_a, scene.tri_b, scene.tri_c),
+                o, d, t_max=t_max)
+        else:
+            occ = traverse.any_hit(
+                scene.bvh, (scene.tri_a, scene.tri_b, scene.tri_c),
+                o, d, t_max=t_max)
         if scene.n_spheres:
             t_sph = geo.sphere_t(o, d, scene.sph_center[None],
                                  scene.sph_radius[None], 0.0, t_max[..., None])
