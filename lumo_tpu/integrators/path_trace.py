@@ -134,6 +134,14 @@ def integrate(scene, o, d, lam, key, delta=1.0, max_depth=MAX_DEPTH,
     if fixed_depth is None:
         out = jax.lax.while_loop(cond, body, state)
     else:
-        out, _ = jax.lax.scan(lambda s, _: (body(s), None), state, None,
+        # Remat the bounce body: reverse-mode AD over the scan then stores
+        # only the (small) per-bounce carry and recomputes the bounce
+        # forward during the backward sweep — the classic HBM-for-FLOPs
+        # trade; the raw residuals (hit records, BSDF params, per-prim
+        # intersection tests) are ~50x the carry and make the backward
+        # pass bandwidth-bound otherwise.
+        body_ckpt = jax.checkpoint(
+            body, policy=jax.checkpoint_policies.nothing_saveable)
+        out, _ = jax.lax.scan(lambda s, _: (body_ckpt(s), None), state, None,
                               length=fixed_depth)
     return out["radiance"], out["lam"], out["depth"]
