@@ -114,11 +114,14 @@ def _refract(eta, wo, no):
 
 
 # ---------------------------------------------------------------------------
-# f — BSDF evaluation (reference ``bxdf.rs:69-103`` dispatch)
+# f / pdf — fused evaluation (reference ``bxdf.rs:69-103`` + ``:135-151``)
+#
+# f and pdf share most of their work (local transforms, half-vectors,
+# GGX NDF, Smith masking, Fresnel); the integrators always need both for a
+# direction, so the fused form halves the BSDF math per shading event.
 
-def f(mp, wo_w, wi_w, ng, ns, backface, lam, mode=RADIANCE):
-    """BSDF value (N, 4).  wo_w, wi_w world-space; wo points away from the
-    surface toward the viewer."""
+def f_pdf(mp, wo_w, wi_w, ng, ns, backface, lam, mode=RADIANCE):
+    """(BSDF value (N, 4), pdf (N,)) for direction pair (wo_w, wi_w)."""
     reflection = dot(ng, wi_w) * dot(ng, wo_w) >= 0.0
     wo = onb.to_local(ns, wo_w)
     wi = onb.to_local(ns, wi_w)
@@ -127,18 +130,27 @@ def f(mp, wo_w, wi_w, ng, ns, backface, lam, mode=RADIANCE):
     cos_o = onb.cos_theta(wo)
     cos_i = onb.cos_theta(wi)
     abs_ci = jnp.maximum(jnp.abs(cos_i), _TINY)
+    same_hemi = cos_o * cos_i > 0.0
 
     # ---- lambertian ----
     f_lam = mp["kd"] / PI
+    p_cos = jnp.where(same_hemi & (cos_i > 0.0), cos_i / PI, 0.0)
 
     # ---- shared microfacet reflection terms ----
     wh_r = normalize(wo + wi, eps=_TINY)
-    d_r = mf.d_ggx(wh_r, mp["alpha"])
+    d_r = mf.d_ggx(wh_r, mp["alpha"])           # sign-invariant in wh
     g_r = mf.g_smith(wo, wi, wh_r, mp["alpha"])
     cos_wh_dot = dot(wo, wh_r)
     fr4 = mf.fresnel(cos_wh_dot[..., None], mp["eta4"], mp["k4"])
     denom_r = 4.0 * jnp.maximum(jnp.abs(cos_o), _TINY) * abs_ci
     refl_coeff = (d_r * g_r / denom_r)[..., None] * fr4
+
+    # pdf-side: upper-hemisphere half-vector + VNDF
+    wh_ru = jnp.where(onb.cos_theta(wh_r)[..., None] < 0.0, -wh_r, wh_r)
+    whdo_r = jnp.abs(cos_wh_dot)
+    p_vndf_r = mf.vndf_pdf(wh_ru, wo, mp["alpha"])
+    p_refl_rough = p_vndf_r / jnp.maximum(4.0 * whdo_r, _TINY)
+    p_refl_delta = jnp.where(1.0 - onb.cos_theta(wh_ru) < DELTA_EPS, 1.0, 0.0)
 
     # ---- conductor (reference ``bxdf/microfacet.rs:516-530``) ----
     z_axis = jnp.zeros_like(wo).at[..., 2].set(1.0)
@@ -146,12 +158,18 @@ def f(mp, wo_w, wi_w, ng, ns, backface, lam, mode=RADIANCE):
     f_cond = jnp.where(mp["mf_delta"][..., None],
                        mp["ks"] * fr_z / abs_ci[..., None],
                        mp["ks"] * refl_coeff)
+    p_cond = jnp.where(mp["mf_delta"], p_refl_delta, p_refl_rough)
+    p_cond = jnp.where(same_hemi, p_cond, 0.0)
 
     # ---- mf diffuse (reference ``bxdf/microfacet.rs:576-601``) ----
     fd = mf.disney_diffuse(mp["alpha"][..., 0], cos_o, cos_i, onb.cos_theta(wh_r))
     f_diff = refl_coeff * mp["ks"] + mp["kd"] * (1.0 - fr4) * (fd / PI)[..., None]
+    pr_d = mf.f_schlick(0.04, 1.0, cos_o)
+    p_spec = jnp.where(mp["mf_delta"], p_refl_delta, p_refl_rough)
+    p_diff = pr_d * p_spec + (1.0 - pr_d) * p_cos
+    p_diff = jnp.where(same_hemi, p_diff, 0.0)
 
-    # ---- dielectric (reference ``bxdf/microfacet.rs:658-721``) ----
+    # ---- dielectric (reference ``bxdf/microfacet.rs:658-721,753-821``) ----
     eta = jnp.maximum(mp["eta4"][..., 0], _TINY)       # leading wavelength
     wo_inside = cos_o < 0.0
     eta_ratio = jnp.where(reflection, 1.0,
@@ -180,6 +198,23 @@ def f(mp, wo_w, wi_w, ng, ns, backface, lam, mode=RADIANCE):
     f_die_tran = jnp.where(die_delta[..., None], f_die_tran_delta, f_die_tran_rough)
     f_die = jnp.where(reflection[..., None], f_die_refl, f_die_tran)
 
+    # dielectric pdf: same wh_t (pdf convention wh = wo + wi·eta_ratio
+    # matches wi·eta_ratio + wo), flipped upward; delta lanes use the
+    # z-axis test, rough lanes the VNDF with the reflect/refract Jacobian
+    degenerate = (whdo == 0.0) | (whdi == 0.0)
+    backfacing_wh = (whdo * cos_o < 0.0) | (whdi * cos_i < 0.0)
+    pr_die = mf.fresnel(whdo, eta, mp["k4"][..., 0])
+    pt_die = 1.0 - pr_die
+    wh_is_z = 1.0 - onb.cos_theta(wh_tp) < DELTA_EPS
+    p_vndf_t = mf.vndf_pdf(wh_tp, wo, mp["alpha"])
+    p_die = jnp.where(
+        reflection & die_delta, jnp.where(wh_is_z, pr_die, 0.0),
+        jnp.where(reflection, p_vndf_t / jnp.maximum(4.0 * jnp.abs(whdo), _TINY) * pr_die,
+        jnp.where(die_delta, jnp.where(wh_is_z, pt_die, 0.0),
+                  p_vndf_t * jnp.abs(whdi)
+                  / jnp.maximum((whdi + whdo / eta_ratio) ** 2, _TINY) * pt_die)))
+    p_die = jnp.where(degenerate | backfacing_wh, 0.0, p_die)
+
     # ---- volumetric: σs over the transmittance-sampling pdf, which the
     #      scene transmittance estimate cancels (``bxdf/volumetric.rs:3-18``) ----
     tr_v = jnp.exp(-mp["sigma_t4"] * mp["t_scaled"][..., None])
@@ -191,6 +226,12 @@ def f(mp, wo_w, wi_w, ng, ns, backface, lam, mode=RADIANCE):
     pc_safe = jnp.where(pc_ok, pdf_cancel, 1.0)
     f_vol = jnp.where(pc_ok[..., None], mp["sigma_s4"] / pc_safe[..., None],
                       jnp.ones_like(f_lam))
+    # HG phase pdf (reference ``bxdf/volumetric.rs:48-63``)
+    g = mp["hg_g"]
+    g2 = g * g
+    ct_v = dot(normalize(wo_w, eps=_TINY), normalize(wi_w, eps=_TINY))
+    den_v = 1.0 + g2 + 2.0 * g * ct_v
+    p_vol = (1.0 - g2) / jnp.maximum(4.0 * PI * den_v * safe_sqrt(den_v), _TINY)
 
     # ---- reflection-only families reject transmission/backface configs
     #      (reference ``bxdf.rs:78-84``) ----
@@ -201,7 +242,22 @@ def f(mp, wo_w, wi_w, ng, ns, backface, lam, mode=RADIANCE):
           jnp.where(kind[..., None] == MF_CONDUCTOR, jnp.where(refl_ok[..., None], f_cond, zero),
           jnp.where(kind[..., None] == MF_DIELECTRIC, f_die,
           jnp.where(kind[..., None] == VOLUMETRIC, f_vol, zero)))))
-    return jnp.where(jnp.isfinite(out), out, 0.0)
+    out = jnp.where(jnp.isfinite(out), out, 0.0)
+
+    # pdf's reflection gate uses the geometric test only (``bxdf.rs:135-151``)
+    p_out = jnp.where(kind == LAMBERTIAN, jnp.where(reflection, p_cos, 0.0),
+            jnp.where(kind == MF_DIFFUSE, jnp.where(reflection, p_diff, 0.0),
+            jnp.where(kind == MF_CONDUCTOR, jnp.where(reflection, p_cond, 0.0),
+            jnp.where(kind == MF_DIELECTRIC, p_die,
+            jnp.where(kind == VOLUMETRIC, p_vol, 0.0)))))
+    p_out = jnp.where(jnp.isfinite(p_out), p_out, 0.0)
+    return out, p_out
+
+
+def f(mp, wo_w, wi_w, ng, ns, backface, lam, mode=RADIANCE):
+    """BSDF value (N, 4).  wo_w, wi_w world-space; wo points away from the
+    surface toward the viewer."""
+    return f_pdf(mp, wo_w, wi_w, ng, ns, backface, lam, mode)[0]
 
 
 # ---------------------------------------------------------------------------

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from lumo_tpu.bsdf import eval as bsdf
 from lumo_tpu.config import RADIANCE, epsilon
@@ -26,13 +27,12 @@ def _uniforms(key, shape, n):
 
 
 def mis_weight_and_contrib(scene, mp, wo, wi, hit, light_hit, lam,
-                           p_lig, p_sct, light_sampled):
+                           p_lig, p_sct, light_sampled, f_val):
     """The `mis_sample` term (reference ``integrator.rs:139-184``):
     f · Tr · Le · |cos| · w / p  with power-2 heuristic."""
     ok = (p_lig > 0.0) & (p_sct > 0.0) & jnp.isfinite(p_lig) & jnp.isfinite(p_sct)
     p_lig = jnp.where(ok, p_lig, 1.0)
     p_sct = jnp.where(ok, p_sct, 1.0)
-    f_val = bsdf.f(mp, wo, wi, hit["ng"], hit["ns"], hit["backface"], lam, RADIANCE)
     f_val = jnp.where(ok[..., None], f_val, 0.0)
     # medium hits cancel pdf (not yet: surface only)
     tr = trace.transmittance(scene, lam, light_hit["t"])
@@ -54,13 +54,18 @@ def _shadow_branch(scene, mp, wo, wi, hit, light, lam, light_sampled, key):
     occlusion, compute both pdfs, MIS-combine."""
     o = geo.offset_ray_origin(hit["p"], hit["err"], hit["ng"], wi)
     lh = trace.light_hit(scene, light, o, wi)
+    # geometry tape (see path_trace.integrate): save the shadow-ray hit +
+    # visibility so the backward remat never re-runs the occlusion sweep
+    lh = {k: checkpoint_name(v, "geom") for k, v in lh.items()}
     t_max = (lh["t"] - epsilon()) * (1.0 - 8.0 * jnp.finfo(o.dtype).eps)
     occ = trace.occluded(scene, o, wi, t_max, key=key)
+    occ = checkpoint_name(occ, "geom")
     visible = lh["valid"] & ~occ
     p_lig = trace.sample_towards_pdf(scene, light, o, wi, lh["p"], lh["ng"])
-    p_sct = bsdf.pdf(mp, wo, wi, hit["ng"], hit["ns"], lam)
+    f_val, p_sct = bsdf.f_pdf(mp, wo, wi, hit["ng"], hit["ns"],
+                              hit["backface"], lam, RADIANCE)
     contrib = mis_weight_and_contrib(scene, mp, wo, wi, hit, lh, lam,
-                                     p_lig, p_sct, light_sampled)
+                                     p_lig, p_sct, light_sampled, f_val)
     return jnp.where(visible[..., None], contrib, 0.0)
 
 
@@ -86,6 +91,64 @@ def single_shadow_ray(scene, mp, wo, hit, lam, key):
     contrib_b = jnp.where(ok_b[..., None], contrib_b, 0.0)
 
     return (contrib_a + contrib_b) / jnp.maximum(pdf_light[..., None], _TINY)
+
+
+def nee_light_branch(scene, mp, wo, hit, lam, key):
+    """One light-sampled NEE estimate — the light branch of reference
+    ``integrator.rs:96-112`` only, divided by the light-choice pdf.
+
+    The BSDF-sampled companion strategy (reference ``:114-133``) is
+    covered by the *extension* ray instead: when it lands on an emitter,
+    ``path_trace`` adds the MIS-weighted emission (weight from
+    :func:`emitter_mis_weight`).  Same estimator in expectation, but one
+    full-scene occlusion sweep per bounce instead of two — the dominant
+    wavefront cost."""
+    N = wo.shape[0]
+    k1, k2, k3 = jax.random.split(key, 3)
+    u_light = jax.random.uniform(k1, (N,))
+    light, pdf_light = trace.sample_light(scene, u_light)
+    u_sq = jax.random.uniform(k2, (N, 2))
+    wi = trace.sample_towards(scene, light, hit["p"], u_sq)
+    wi = checkpoint_name(jax.lax.stop_gradient(wi), "geom")
+    contrib = _shadow_branch(scene, mp, wo, wi, hit, light, lam, True, k3)
+    return contrib / jnp.maximum(pdf_light[..., None], _TINY)
+
+
+def emitter_mis_weight(scene, o, d, hit, p_sct, did_nee):
+    """Power-2 MIS weight for emission picked up by an *extension* ray.
+
+    o, d: the ray that produced `hit`; p_sct: the BSDF pdf (solid angle)
+    under which d was sampled at the previous vertex; did_nee: whether
+    that vertex ran NEE (non-delta).  Where it did, the emitter hit is the
+    BSDF-sampled strategy of the reference's MIS pair
+    (``integrator.rs:139-184``) and is weighted against the light-sample
+    pdf of reaching the same point; where it did not (delta chains /
+    camera-first hits), emission counts in full (``path_trace.rs:24-28``)."""
+    light = hit["light"]
+    is_light = light >= 0
+    lsafe = jnp.clip(light, 0, max(scene.n_lights - 1, 0))
+    p_lig = trace.sample_towards_pdf(scene, lsafe, o, d, hit["p"], hit["ng"])
+    ok = is_light & (p_sct > 0.0) & jnp.isfinite(p_sct) & (p_lig > 0.0) \
+        & jnp.isfinite(p_lig)
+    # overflow-safe power-2 heuristic: 1 / (1 + (p_lig/p_sct)^2)
+    ratio = jnp.clip(jnp.where(ok, p_lig, 0.0)
+                     / jnp.where(p_sct > 0.0, p_sct, 1.0), 0.0, 1e18)
+    w = 1.0 / (1.0 + ratio * ratio)
+    # a light unreachable by NEE from here (pdf 0 / edge-on) has no
+    # companion strategy: full weight
+    return jnp.where(did_nee, jnp.where(ok, w, 1.0), 1.0)
+
+
+def nee_rays(scene, mp, wo, gathered, hit, lam, key):
+    """Average ``n_shadow_rays`` light-branch NEE estimates, scaled by path
+    throughput (reference ``integrator.rs:74-85`` with the BSDF branch
+    moved onto the extension ray — see :func:`nee_light_branch`)."""
+    n = scene.n_shadow_rays
+    acc = 0.0
+    for i in range(n):
+        acc = acc + nee_light_branch(scene, mp, wo, hit, lam,
+                                     jax.random.fold_in(key, i))
+    return gathered * acc / n
 
 
 def shadow_rays(scene, mp, wo, gathered, hit, lam, key):

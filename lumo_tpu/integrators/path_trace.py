@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from lumo_tpu.bsdf import eval as bsdf
 from lumo_tpu.color import space, wavelength
@@ -44,7 +45,8 @@ def integrate(scene, o, d, lam, key, delta=1.0, max_depth=MAX_DEPTH,
         "radiance": jnp.zeros((N, 4), dt),
         "gathered": jnp.ones((N, 4), dt),
         "alive": jnp.ones((N,), bool),
-        "last_specular": jnp.ones((N,), bool),
+        "did_nee": jnp.zeros((N,), bool),
+        "p_sct": jnp.ones((N,), dt),
         "depth": jnp.zeros((N,), jnp.int32),
         "bounce": jnp.zeros((), jnp.int32),
         "key": key,
@@ -56,6 +58,10 @@ def integrate(scene, o, d, lam, key, delta=1.0, max_depth=MAX_DEPTH,
     def body(s):
         key, k_nee, k_lobe, k_sq, k_rr, k_med = jax.random.split(s["key"], 6)
         hit = trace.intersect(scene, s["o"], s["d"], key=k_med)
+        # the hit record is the "geometry tape": under the fixed-depth remat
+        # policy it is saved, so the backward sweep recomputes only the
+        # material-dependent shading math — never the intersection sweeps
+        hit = {k: checkpoint_name(v, "geom") for k, v in hit.items()}
         alive = s["alive"] & hit["valid"]
         wo = -s["d"]
         lam = s["lam"]
@@ -75,29 +81,37 @@ def integrate(scene, o, d, lam, key, delta=1.0, max_depth=MAX_DEPTH,
         u_sq = jax.random.uniform(k_sq, (N, 2))
         wi, sample_ok, _ = bsdf.sample(mp, wo, hit["ns"], hit["backface"],
                                        lam2, u_lobe, u_sq)
+        wi = checkpoint_name(wi, "geom")
+        sample_ok = checkpoint_name(sample_ok, "geom")
 
-        # emitter hit: lights/blank have no BSDF → path ends here; emission
-        # only counted after specular chains (reference ``path_trace.rs:22-28``)
+        # emitter hit: lights/blank have no BSDF → path ends here.  After a
+        # vertex that ran NEE, the emission is the BSDF-sampled MIS
+        # strategy and is power-2-weighted against the NEE pdf of the same
+        # point; after delta chains / camera it counts in full
+        # (reference ``path_trace.rs:22-28`` + ``integrator.rs:114-133``,
+        # with the BSDF shadow ray folded onto the extension ray).
         emit = trace.emitted(scene, hit["mat"], lam, hit["uv"], hit["backface"])
-        add_emit = alive & ~sample_ok & s["last_specular"]
+        w_mis = common.emitter_mis_weight(scene, s["o"], s["d"], hit,
+                                          s["p_sct"], s["did_nee"])
+        add_emit = alive & ~sample_ok
         radiance = s["radiance"] + jnp.where(add_emit[..., None],
-                                             gathered0 * emit, 0.0)
+                                             gathered0 * emit
+                                             * w_mis[..., None], 0.0)
         alive = alive & sample_ok
 
         # NEE at non-delta vertices (reference ``path_trace.rs:30-40``)
-        nee = common.shadow_rays(scene, mp2, wo, gathered0, hit, lam2, k_nee)
+        nee = common.nee_rays(scene, mp2, wo, gathered0, hit, lam2, k_nee)
         do_nee = alive & ~mp["is_delta"]
         radiance = radiance + jnp.where(do_nee[..., None], nee, 0.0)
 
         # continue the path
         ro = geo.offset_ray_origin(hit["p"], hit["err"], hit["ng"], wi)
-        p_sct = bsdf.pdf(mp2, wo, wi, hit["ng"], hit["ns"], lam2)
+        f_val, p_sct = bsdf.f_pdf(mp2, wo, wi, hit["ng"], hit["ns"],
+                                  hit["backface"], lam2, RADIANCE)
         alive = alive & (p_sct > 0.0) & jnp.isfinite(p_sct)
         # sanitize the divisor BEFORE masking: dead lanes otherwise compute
         # f/0 whose (discarded) gradients are NaN through the jnp.where
         p_safe = jnp.where(alive, p_sct, 1.0)
-        f_val = bsdf.f(mp2, wo, wi, hit["ng"], hit["ns"], hit["backface"],
-                       lam2, RADIANCE)
         # mediums are assumed sampled perfectly per the phase function, so
         # the pdf cancels (reference ``path_trace.rs:52-58``)
         f_val = jnp.where(hit["is_medium"][..., None],
@@ -125,7 +139,8 @@ def integrate(scene, o, d, lam, key, delta=1.0, max_depth=MAX_DEPTH,
             "radiance": radiance,
             "gathered": jnp.where(alive[..., None], gathered, s["gathered"]),
             "alive": alive,
-            "last_specular": jnp.where(alive, mp["is_specular"], s["last_specular"]),
+            "did_nee": jnp.where(alive, do_nee, s["did_nee"]),
+            "p_sct": jnp.where(alive, p_sct, s["p_sct"]),
             "depth": s["depth"] + jnp.where(alive, 1, 0),
             "bounce": s["bounce"] + 1,
             "key": key,
@@ -134,14 +149,16 @@ def integrate(scene, o, d, lam, key, delta=1.0, max_depth=MAX_DEPTH,
     if fixed_depth is None:
         out = jax.lax.while_loop(cond, body, state)
     else:
-        # Remat the bounce body: reverse-mode AD over the scan then stores
-        # only the (small) per-bounce carry and recomputes the bounce
-        # forward during the backward sweep — the classic HBM-for-FLOPs
-        # trade; the raw residuals (hit records, BSDF params, per-prim
-        # intersection tests) are ~50x the carry and make the backward
-        # pass bandwidth-bound otherwise.
+        # Remat the bounce body, SAVING the geometry tape: reverse-mode AD
+        # stores the per-bounce carry plus everything tagged
+        # checkpoint_name("geom") (hit records, sampled/shadow directions,
+        # visibility) and recomputes only the material-dependent shading
+        # math during the backward sweep.  The intersection and occlusion
+        # sweeps — the dominant forward cost — run exactly once, and their
+        # raw per-prim candidate tests (the truly huge residuals) are
+        # never stored.
         body_ckpt = jax.checkpoint(
-            body, policy=jax.checkpoint_policies.nothing_saveable)
+            body, policy=jax.checkpoint_policies.save_only_these_names("geom"))
         out, _ = jax.lax.scan(lambda s, _: (body_ckpt(s), None), state, None,
                               length=fixed_depth)
     return out["radiance"], out["lam"], out["depth"]
