@@ -21,8 +21,8 @@ import dataclasses
 
 import numpy as np
 
-COST_INTERSECT = 15.0   # reference kdtree/node.rs:7-9
-COST_TRAVERSE = 20.0
+COST_TRAVERSE = 15.0    # reference kdtree/node.rs:7-9
+COST_INTERSECT = 20.0
 EMPTY_BONUS = 0.2
 MAX_DEPTH = 48          # device stack is 64 deep
 

@@ -226,9 +226,12 @@ def kd_closest_hit(kd, tri, o, d, t_min=0.0, t_max=INF):
         right = nd_right[node]
         near = jnp.where(below, left, right)
         far = jnp.where(below, right, left)
-        # PBR fig 4.19 cases; NaN tplane (ray in-plane, parallel) visits
-        # both children over the full interval
-        nan_p = jnp.isnan(tplane)
+        # PBR fig 4.19 cases; a ray lying exactly in the split plane
+        # (d_axis == 0 and o_axis == split) must visit both children over
+        # the full interval.  inv_d is clamped to ±1e30 so tplane itself
+        # never NaNs — test the degenerate case explicitly (the reference's
+        # NaN comparisons fall through to the visit-both branch here).
+        nan_p = (d_a == 0.0) & (o_a == split)
         only_near = (tplane > t1) | (tplane <= 0)
         only_far = ~only_near & (tplane < t0)
         both = (~only_near & ~only_far) | nan_p
@@ -265,9 +268,101 @@ def kd_closest_hit(kd, tri, o, d, t_min=0.0, t_max=INF):
 
 def kd_any_hit(kd, tri, o, d, t_min=0.0, t_max=INF):
     """Occlusion kd traversal: True where any prim lies in (t_min, t_max);
-    lanes stop the moment they find a hit."""
-    t, prim = kd_closest_hit(kd, tri, o, d, t_min, t_max)
-    return prim >= 0
+    lanes stop the moment they find a hit (reference ``GEO=false`` path,
+    ``kdtree.rs:101-169``) — no ordered near-first bookkeeping, no
+    closest-hit refinement."""
+    N = o.shape[0]
+    tri = tuple(jnp.asarray(x) for x in tri)
+    kz, shear = geo.ray_setup(d)
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-30,
+                            jnp.where(d < 0, -1e-30, 1e-30), d)
+    if isinstance(t_max, (int, float)):
+        t_max = jnp.full((N,), t_max, o.dtype)
+    t_lo = jnp.asarray(t_min, o.dtype)
+
+    e0, e1, enter = _kd_entry(kd, o, inv_d, t_lo, t_max)
+    state = {
+        "stack_n": jnp.zeros((N, STACK), jnp.int32),
+        "stack_t0": jnp.zeros((N, STACK), o.dtype).at[:, 0].set(e0),
+        "stack_t1": jnp.zeros((N, STACK), o.dtype).at[:, 0].set(e1),
+        "sp": jnp.where(enter, 1, 0).astype(jnp.int32),
+        "hit": jnp.zeros((N,), bool),
+        "lfirst": jnp.zeros((N,), jnp.int32),
+        "lcount": jnp.zeros((N,), jnp.int32),
+    }
+    nd_split, nd_axis = kd["split"], kd["axis"]
+    nd_right, nd_first, nd_count = kd["right"], kd["first"], kd["count"]
+    prims = kd["prims"]
+
+    def cond(s):
+        return jnp.any(~s["hit"] & ((s["sp"] > 0) | (s["lcount"] > 0)))
+
+    def body(s):
+        live = ~s["hit"]
+        in_leaf = live & (s["lcount"] > 0)
+        lt, _ = _leaf_t_indirect(o, kz, shear, tri, prims,
+                                 s["lfirst"], s["lcount"], t_lo, t_max)
+        hit = s["hit"] | (in_leaf & (lt < t_max))
+        lfirst = jnp.where(in_leaf, s["lfirst"] + LEAF, s["lfirst"])
+        lcount = jnp.where(in_leaf, jnp.maximum(s["lcount"] - LEAF, 0),
+                           s["lcount"])
+
+        can_pop = live & ~in_leaf & (s["sp"] > 0)
+        sp1 = jnp.where(can_pop, s["sp"] - 1, s["sp"])
+        slot = jnp.maximum(sp1, 0)
+        take = lambda st: jnp.take_along_axis(st, slot[:, None], axis=1)[:, 0]
+        node = jnp.where(can_pop, take(s["stack_n"]), 0)
+        t0 = take(s["stack_t0"])
+        t1 = take(s["stack_t1"])
+
+        ax = nd_axis[node]
+        is_leaf = can_pop & (ax == 3)
+        lfirst = jnp.where(is_leaf, nd_first[node], lfirst)
+        lcount = jnp.where(is_leaf, nd_count[node], lcount)
+
+        interior = can_pop & (ax != 3)
+        axc = jnp.clip(ax, 0, 2)
+        o_a = jnp.take_along_axis(o, axc[:, None], axis=1)[:, 0]
+        d_a = jnp.take_along_axis(d, axc[:, None], axis=1)[:, 0]
+        inv_a = jnp.take_along_axis(inv_d, axc[:, None], axis=1)[:, 0]
+        split = nd_split[node]
+        tplane = (split - o_a) * inv_a
+        below = (o_a < split) | ((o_a == split) & (d_a <= 0))
+        left = node + 1
+        right = nd_right[node]
+        near = jnp.where(below, left, right)
+        far = jnp.where(below, right, left)
+        nan_p = (d_a == 0.0) & (o_a == split)   # in-plane-parallel: both
+        only_near = (tplane > t1) | (tplane <= 0)
+        only_far = ~only_near & (tplane < t0)
+        both = (~only_near & ~only_far) | nan_p
+        t_mid_far = jnp.where(nan_p, t0, tplane)
+        t_mid_near = jnp.where(nan_p, t1, tplane)
+
+        stack_n, stack_t0, stack_t1 = s["stack_n"], s["stack_t0"], s["stack_t1"]
+        put = lambda st, pos, val, m: jax.vmap(
+            lambda row, p, v, mm: jnp.where(mm, row.at[p].set(v), row)
+        )(st, pos, val, m)
+        push1 = interior & (only_near | only_far | both)
+        first_n = jnp.where(both | only_far, far, near)
+        first_t0 = jnp.where(both, t_mid_far, t0)
+        stack_n = put(stack_n, slot, first_n, push1)
+        stack_t0 = put(stack_t0, slot, first_t0, push1)
+        stack_t1 = put(stack_t1, slot, t1, push1)
+        push2 = interior & both
+        slot2 = jnp.minimum(slot + 1, STACK - 1)
+        stack_n = put(stack_n, slot2, near, push2)
+        stack_t0 = put(stack_t0, slot2, t0, push2)
+        stack_t1 = put(stack_t1, slot2, t_mid_near, push2)
+        sp = jnp.where(push2, jnp.minimum(slot + 2, STACK),
+                       jnp.where(push1, slot + 1, sp1))
+
+        return {"stack_n": stack_n, "stack_t0": stack_t0,
+                "stack_t1": stack_t1, "sp": sp, "hit": hit,
+                "lfirst": lfirst, "lcount": lcount}
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["hit"]
 
 
 def any_hit(bvh, tri, o, d, t_min=0.0, t_max=INF):

@@ -110,15 +110,50 @@ def filter_integral(filt: PixelFilter) -> float:
 # tone mapping (reference ``tone_mapping.rs:38-64``)
 
 NOMAP, CLAMP, REINHARD = range(3)
+_TM_NAMES = {"nomap": NOMAP, "none": NOMAP, "clamp": CLAMP,
+             "reinhard": REINHARD}
+
+# debug radiance sanitizer (reference ``tone_mapping.rs:9,42-56``)
+SUSPICIOUSLY_LARGE_VALUE = 1000.0
 
 
-def tone_map(kind, color, lam, arg=1.0):
+def tone_map_kind(kind):
+    """Normalize a tone-map spec (int constant or name string) to an int."""
+    if isinstance(kind, str):
+        return _TM_NAMES[kind.lower()]
+    kind = int(kind)
+    if kind not in (NOMAP, CLAMP, REINHARD):
+        raise ValueError(f"unknown tone map {kind}")
+    return kind
+
+
+def tone_map(kind, color, lam, arg=1.0, debug=False):
+    """Tone-map spectral samples.  With ``debug=True``, estimator bugs are
+    *painted* instead of scrubbed (reference debug build,
+    ``tone_mapping.rs:42-56``): NaN → green, negative → red, suspiciously
+    large → blue, each at 32x brightness so they glow in the output."""
+    kind = tone_map_kind(kind)
     if kind == NOMAP:
-        return color
-    if kind == CLAMP:
-        return jnp.clip(color, 0.0, arg)
-    lum = space.luminance(color, lam)
-    return color / (1.0 + lum[..., None])
+        out = color
+    elif kind == CLAMP:
+        out = jnp.clip(color, 0.0, arg)
+    else:
+        lum = space.luminance(color, lam)
+        out = color / (1.0 + lum[..., None])
+    if debug:
+        from lumo_tpu.color import uplift
+        nan = jnp.any(~jnp.isfinite(color), axis=-1)
+        neg = jnp.any(color < 0.0, axis=-1)
+        huge = jnp.max(color, axis=-1) > SUSPICIOUSLY_LARGE_VALUE
+        paint = {name: 32.0 * uplift.sample(
+                     jnp.asarray(uplift.from_rgb(rgb), color.dtype)[None, :],
+                     lam)
+                 for name, rgb in (("g", [0, 1, 0]), ("r", [1, 0, 0]),
+                                   ("b", [0, 0, 1]))}
+        out = jnp.where(nan[..., None], paint["g"],
+              jnp.where(neg[..., None], paint["r"],
+              jnp.where(huge[..., None], paint["b"], out)))
+    return out
 
 
 # ---------------------------------------------------------------------------

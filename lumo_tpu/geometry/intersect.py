@@ -49,20 +49,35 @@ def triangle_t(o, kz, shear, a, b, c, t_min, t_max):
     o: (N, 3) origins; kz/(N,), shear/(N, 3) from `ray_setup`;
     a, b, c: (N, T, 3) triangle vertices (already broadcast/gathered);
     t_min/t_max: scalars or (N, 1).
-    Returns (t, det, edges): t = (N, T) hit distance (INF if miss).
+    Returns (t, det, edges): t = (N, T) hit distance (INF if miss),
+    edges = (e0, e1, e2) tuple of (N, T).
+
+    The body is written in unpacked per-component form: a single
+    ``jnp.stack`` of an (N, T, 3) intermediate is a TPU concatenate that
+    materializes ~25MB per wavefront and breaks XLA elementwise fusion —
+    component arithmetic keeps the whole test in one fused kernel.
     """
     kzb = kz[..., None]
-    at = _permute_axes(a - o[..., None, :], kzb)
-    bt = _permute_axes(b - o[..., None, :], kzb)
-    ct = _permute_axes(c - o[..., None, :], kzb)
-    sx, sy, sz = (shear[..., None, 0], shear[..., None, 1], shear[..., None, 2])
+    sx = shear[..., 0][..., None]
+    sy = shear[..., 1][..., None]
+    sz = shear[..., 2][..., None]
+    ox = o[..., 0][..., None]
+    oy = o[..., 1][..., None]
+    oz = o[..., 2][..., None]
 
-    ax = at[..., 0] + sx * at[..., 2]
-    ay = at[..., 1] + sy * at[..., 2]
-    bx = bt[..., 0] + sx * bt[..., 2]
-    by = bt[..., 1] + sy * bt[..., 2]
-    cx = ct[..., 0] + sx * ct[..., 2]
-    cy = ct[..., 1] + sy * ct[..., 2]
+    def shear_xyz(v):
+        """Translate, permute (kz→z), shear: (N|1, T, 3) → 3 × (N, T)."""
+        rx = v[..., 0] - ox
+        ry = v[..., 1] - oy
+        rz = v[..., 2] - oz
+        px = jnp.where(kzb == 0, ry, jnp.where(kzb == 1, rz, rx))
+        py = jnp.where(kzb == 0, rz, jnp.where(kzb == 1, rx, ry))
+        pz = jnp.where(kzb == 0, rx, jnp.where(kzb == 1, ry, rz))
+        return px + sx * pz, py + sy * pz, sz * pz
+
+    ax, ay, az = shear_xyz(a)
+    bx, by, bz = shear_xyz(b)
+    cx, cy, cz = shear_xyz(c)
 
     e0 = bx * cy - by * cx
     e1 = cx * ay - cy * ax
@@ -72,9 +87,6 @@ def triangle_t(o, kz, shear, a, b, c, t_min, t_max):
     miss_sign = ((jnp.minimum(jnp.minimum(e0, e1), e2) < 0.0)
                  & (jnp.maximum(jnp.maximum(e0, e1), e2) > 0.0))
     det = e0 + e1 + e2
-    az = sz * at[..., 2]
-    bz = sz * bt[..., 2]
-    cz = sz * ct[..., 2]
     t_scaled = e0 * az + e1 * bz + e2 * cz
 
     neg = det < 0.0
@@ -98,7 +110,7 @@ def triangle_t(o, kz, shear, a, b, c, t_min, t_max):
     abs_det = jnp.maximum(jnp.abs(det), jnp.finfo(t.dtype).tiny)
     d_t = 3.0 * (gamma_bound(3) * max_e * max_z + d_e * max_z + d_z * max_e) / abs_det
     t = jnp.where(t <= t_min + d_t, INF, t)
-    return t, det, jnp.stack([e0, e1, e2], axis=-1)
+    return t, det, (e0, e1, e2)
 
 
 def triangle_detail(o, d, a, b, c, na, nb, nc, uva, uvb, uvc):
@@ -108,11 +120,13 @@ def triangle_detail(o, d, a, b, c, na, nb, nc, uva, uvb, uvc):
     Returns dict with p, ng, ns, uv, err (fp error bound vector).
     """
     kz, shear = ray_setup(d)
-    t, det, edges = triangle_t(o, kz, shear, a[:, None], b[:, None], c[:, None],
-                               0.0, INF)
+    t, det, (e0, e1, e2) = triangle_t(o, kz, shear, a[:, None], b[:, None],
+                                      c[:, None], 0.0, INF)
     det = det[:, 0]
-    bary = edges[:, 0] / jnp.where(det == 0.0, 1.0, det)[..., None]  # (N, 3)
-    al, be, ga = bary[..., 0:1], bary[..., 1:2], bary[..., 2:3]
+    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    al = (e0[:, 0] * inv_det)[..., None]
+    be = (e1[:, 0] * inv_det)[..., None]
+    ga = (e2[:, 0] * inv_det)[..., None]
     p = al * a + be * b + ga * c
     ng = normalize(jnp.cross(b - a, c - a))
     ns_raw = al * na + be * nb + ga * nc

@@ -25,7 +25,7 @@
 // with bigger buffers).
 //
 // Cost constants mirror the reference (kdtree/node.rs:7-9):
-// COST_INTERSECT=15, COST_TRAVERSE=20, EMPTY_BONUS=0.2.
+// COST_TRAVERSE=15, COST_INTERSECT=20, EMPTY_BONUS=0.2.
 
 #include <algorithm>
 #include <atomic>
@@ -37,8 +37,8 @@
 
 namespace {
 
-constexpr double KD_COST_INTERSECT = 15.0;
-constexpr double KD_COST_TRAVERSE = 20.0;
+constexpr double KD_COST_TRAVERSE = 15.0;
+constexpr double KD_COST_INTERSECT = 20.0;
 constexpr double KD_EMPTY_BONUS = 0.2;
 constexpr int KD_MAX_DEPTH = 48;  // device stack is 64 deep
 constexpr int KD_FORK_DEPTH = 8;          // reference kdtree/node.rs:3-5

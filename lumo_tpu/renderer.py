@@ -46,6 +46,7 @@ class Renderer:
         self._illuminant = "D65"
         self._batch = None  # samples per compiled step (auto)
         self._delta = 1.0   # RR threshold
+        self._debug = False  # paint NaN/neg/huge radiance (tone_mapping.rs:42-56)
 
     # fluent config (mirrors reference ``renderer.rs:66-99``)
     def samples(self, n):
@@ -65,8 +66,15 @@ class Renderer:
         return self
 
     def tone_map(self, kind, arg=1.0):
-        self._tone_map = kind
+        self._tone_map = film_mod.tone_map_kind(kind)
         self._tone_arg = arg
+        return self
+
+    def debug_sanitize(self, on=True):
+        """Paint NaN (green) / negative (red) / huge (blue) radiance in the
+        output instead of scrubbing it — surfaces estimator bugs
+        (reference debug builds, ``tone_mapping.rs:42-56``)."""
+        self._debug = bool(on)
         return self
 
     def pixel_filter(self, f):
@@ -114,6 +122,7 @@ class Renderer:
         wbm = jnp.asarray(film_mod.wb_matrix(self._colorspace, self._illuminant),
                           jnp.float32)
         delta = self._delta
+        debug = self._debug
 
         @jax.jit
         def step(film, key, sample_base):
@@ -145,7 +154,8 @@ class Renderer:
                     scene, camera, o, d, lam, k_int, delta=delta)
             else:
                 radiance, lam_out, depth = integrator(scene, o, d, lam, k_int)
-            color = film_mod.tone_map(tone_kind, radiance, lam_out, tone_arg)
+            color = film_mod.tone_map(tone_kind, radiance, lam_out, tone_arg,
+                                      debug=debug)
             rgb = film_mod.spectral_to_rgb(color, lam_out, wbm)
             film = film_mod.add_samples(film, filt, raster, rgb, (w, h))
             if is_bdpt and sr.shape[0]:
@@ -153,7 +163,8 @@ class Renderer:
                 # (reference ``film/tile.rs:96-111``)
                 reps = sr.shape[0] // N
                 lam_s = jnp.tile(lam_out, (reps, 1))
-                sc = film_mod.tone_map(tone_kind, sc, lam_s, tone_arg)
+                sc = film_mod.tone_map(tone_kind, sc, lam_s, tone_arg,
+                                       debug=debug)
                 rgb_s = film_mod.spectral_to_rgb(sc, lam_s, wbm)
                 film = film_mod.add_samples(film, filt, sr, rgb_s, (w, h),
                                             splat=True, mask=sm)
