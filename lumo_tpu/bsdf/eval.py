@@ -46,12 +46,18 @@ def gather_params(materials: dict, mat, lam, uv, textures=None, tex_kinds=(),
     needed by volumetric lanes (the medium BxDF's transmittance-pdf
     cancellation depends on the traveled distance,
     ``bxdf.rs:96-98``)."""
+    from lumo_tpu import ops
     m = materials
-    alpha = jnp.stack([m["roughness"][mat], m["roughness"][mat]], axis=-1)
+    # one one-hot matmul selects every multi-column float table row
+    # (XLA's small-table gather lowering is ~1000x the useful traffic;
+    # scalar (M,) gathers are fine and stay as gathers)
+    kd_c, ks_c, tf_c, st_c, ss_c = ops.take_rows_many(
+        [m["kd"], m["ks"], m["tf"], m["sigma_t"], m["sigma_s"]], mat)
     eta4 = dense.sample_rows(m["eta"], mat, lam)
     k4 = dense.sample_rows(m["k"], mat, lam)
     kind = m["kind"][mat]
     rough = m["roughness"][mat]
+    alpha = jnp.stack([rough, rough], axis=-1)
     # delta classification (reference ``microfacet.rs:79-83``, ``bxdf.rs:57-66``)
     mf_delta = rough < 1e-3
     eta_lead = eta4[..., 0]
@@ -68,12 +74,12 @@ def gather_params(materials: dict, mat, lam, uv, textures=None, tex_kinds=(),
         "eta4": eta4,
         "k4": k4,
         "eta_const": m["eta_const"][mat],
-        "kd": uplift.sample(m["kd"][mat][..., None, :], lam),
-        "ks": uplift.sample(m["ks"][mat][..., None, :], lam),
-        "tf": uplift.sample(m["tf"][mat][..., None, :], lam),
+        "kd": uplift.sample(kd_c[..., None, :], lam),
+        "ks": uplift.sample(ks_c[..., None, :], lam),
+        "tf": uplift.sample(tf_c[..., None, :], lam),
         "hg_g": m["hg_g"][mat],
-        "sigma_t4": uplift.sample(m["sigma_t"][mat][..., None, :], lam),
-        "sigma_s4": uplift.sample(m["sigma_s"][mat][..., None, :], lam),
+        "sigma_t4": uplift.sample(st_c[..., None, :], lam),
+        "sigma_s4": uplift.sample(ss_c[..., None, :], lam),
     }
     if t is None:
         out["t_scaled"] = jnp.zeros_like(rough)

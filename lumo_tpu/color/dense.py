@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -70,40 +71,45 @@ def from_points(wavelengths, values) -> np.ndarray:
 def sample(values, lam):
     """Linearly interpolate dense spectra at wavelengths.
 
-    values: (..., 95) spectra; lam: (...) wavelengths broadcastable against
-    the leading axes of `values`.  λ == 0 (terminated hero sample) yields 0,
-    matching reference ``dense_spectrum.rs:80-83``.
+    values: (..., 95) spectra; lam: (...) wavelengths — either
+    ``values.ndim == lam.ndim + 1`` (per-lane spectra) or ``values``
+    broadcasts against ``lam[..., None]`` (a shared table, e.g. the CIE
+    curves).  λ == 0 (terminated hero sample) yields 0, matching
+    reference ``dense_spectrum.rs:80-83``.
+
+    Linear interpolation is evaluated as a hat-basis contraction over the
+    95-bin axis instead of endpoint gathers — per-element gathers from
+    small tables explode ~1000x on the TPU backend, while the dense
+    multiply-reduce fuses on the VPU.
     """
     values = jnp.asarray(values)
     lam = jnp.asarray(lam)
     x = (lam - LAMBDA_MIN) / STEP
-    b1 = jnp.clip(jnp.ceil(x).astype(jnp.int32), 0, DENSE_SAMPLES - 1)
-    b0 = jnp.clip(b1 - 1, 0, DENSE_SAMPLES - 1)
-    x1 = jnp.clip(x - b0.astype(values.dtype), 0.0, 1.0)
-    v0 = jnp.take_along_axis(values, b0[..., None], axis=-1)[..., 0] \
-        if values.ndim == lam.ndim + 1 else values[..., b0]
-    v1 = jnp.take_along_axis(values, b1[..., None], axis=-1)[..., 0] \
-        if values.ndim == lam.ndim + 1 else values[..., b1]
-    out = v0 * (1.0 - x1) + v1 * x1
+    b = jnp.arange(DENSE_SAMPLES, dtype=values.dtype)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - b))
+    out = jnp.sum(w * values, axis=-1)
     return jnp.where(lam == 0.0, 0.0, out)
 
 
 def sample_rows(table, rows, lam):
-    """Sample per-ray rows of a dense-spectrum table without materializing
-    (N, 95) gathers: table (M, 95), rows (N,) int, lam (N, 4) → (N, 4).
+    """Sample per-ray rows of a dense-spectrum table: table (M, 95),
+    rows (N,) int, lam (N, 4) → (N, 4).
 
-    Gathers only the two 5nm interpolation endpoints per wavelength —
-    the hot-path variant of :func:`sample` (the (N, 95)-row gather was the
-    dominant HBM traffic of the whole renderer)."""
+    TPU-native formulation: XLA lowers per-element gathers from small
+    tables into full index-space expansions (measured ~1000x the useful
+    traffic), so instead the row select is a one-hot matmul (MXU) and the
+    5nm linear interpolation is a hat-function contraction — both fuse,
+    and the backward pass w.r.t. the (differentiable) table is a clean
+    transposed matmul instead of a scatter."""
     table = jnp.asarray(table)
-    x = (lam - LAMBDA_MIN) / STEP
-    b1 = jnp.clip(jnp.ceil(x).astype(jnp.int32), 0, DENSE_SAMPLES - 1)
-    b0 = jnp.clip(b1 - 1, 0, DENSE_SAMPLES - 1)
-    x1 = jnp.clip(x - b0.astype(table.dtype), 0.0, 1.0)
-    r = rows[..., None]
-    v0 = table[r, b0]
-    v1 = table[r, b1]
-    out = v0 * (1.0 - x1) + v1 * x1
+    M = table.shape[0]
+    onehot = jax.nn.one_hot(rows, M, dtype=table.dtype)          # (N, M)
+    rowvals = onehot @ table                                      # (N, 95)
+    x = (lam - LAMBDA_MIN) / STEP                                 # (N, 4)
+    b = jnp.arange(DENSE_SAMPLES, dtype=table.dtype)
+    # linear interp == hat-basis weights: max(0, 1 - |x - b|)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - b))         # (N, 4, 95)
+    out = jnp.einsum("nkb,nb->nk", w, rowvals)
     return jnp.where(lam == 0.0, 0.0, out)
 
 

@@ -15,15 +15,31 @@ from jax.ad_checkpoint import checkpoint_name
 from lumo_tpu.bsdf import eval as bsdf
 from lumo_tpu.config import RADIANCE, epsilon
 from lumo_tpu.geometry import intersect as geo
+from lumo_tpu.sampling.samplers import _hash_u32, _randfloat
 from lumo_tpu.scene import trace
 
 _TINY = 1e-30
 
+# Per-purpose draw salts.  All integrator randomness is counter-based
+# (Kensler hash of a per-ray uint32 state x a purpose salt) so any lane of
+# any shard regenerates its sequence identically — sharded rendering is
+# bit-exact with single-device rendering, and no threefry runs in the
+# bounce loop.  Counterpart of the reference's per-task Xorshift streams
+# (``rng.rs:51-63``), redesigned for SPMD determinism (SURVEY §7).
+S_LIGHT = jnp.uint32(0x2545F491)
+S_SQ0 = jnp.uint32(0x9E3779B9)
+S_SQ1 = jnp.uint32(0x85EBCA6B)
+S_LOBE = jnp.uint32(0xC2B2AE35)
+S_SQ2 = jnp.uint32(0x27D4EB2F)
+S_SQ3 = jnp.uint32(0x165667B1)
+S_OCC = jnp.uint32(0xD3A2646C)
+S_OCCB = jnp.uint32(0xFD7046C5)
 
-def _uniforms(key, shape, n):
-    """n independent uniform arrays of `shape`."""
-    u = jax.random.uniform(key, shape + (n,))
-    return [u[..., i] for i in range(n)]
+
+def _fold(rng, i):
+    """Derive an independent per-estimate stream from a per-ray state."""
+    return _hash_u32(rng ^ (jnp.uint32(i) * jnp.uint32(0x6C62272E)
+                            + jnp.uint32(0xB5297A4D)))
 
 
 def mis_weight_and_contrib(scene, mp, wo, wi, hit, light_hit, lam,
@@ -49,7 +65,8 @@ def mis_weight_and_contrib(scene, mp, wo, wi, hit, light_hit, lam,
     return jnp.where(ok[..., None], contrib, 0.0)
 
 
-def _shadow_branch(scene, mp, wo, wi, hit, light, lam, light_sampled, key):
+def _shadow_branch(scene, mp, wo, wi, hit, light, lam, light_sampled, rng,
+                   salt):
     """Common tail of both NEE branches: trace to the chosen light, check
     occlusion, compute both pdfs, MIS-combine."""
     o = geo.offset_ray_origin(hit["p"], hit["err"], hit["ng"], wi)
@@ -58,7 +75,7 @@ def _shadow_branch(scene, mp, wo, wi, hit, light, lam, light_sampled, key):
     # visibility so the backward remat never re-runs the occlusion sweep
     lh = {k: checkpoint_name(v, "geom") for k, v in lh.items()}
     t_max = (lh["t"] - epsilon()) * (1.0 - 8.0 * jnp.finfo(o.dtype).eps)
-    occ = trace.occluded(scene, o, wi, t_max, key=key)
+    occ = trace.occluded(scene, o, wi, t_max, rng=rng, salt=salt)
     occ = checkpoint_name(occ, "geom")
     visible = lh["valid"] & ~occ
     p_lig = trace.sample_towards_pdf(scene, light, o, wi, lh["p"], lh["ng"])
@@ -69,31 +86,33 @@ def _shadow_branch(scene, mp, wo, wi, hit, light, lam, light_sampled, key):
     return jnp.where(visible[..., None], contrib, 0.0)
 
 
-def single_shadow_ray(scene, mp, wo, hit, lam, key):
+def single_shadow_ray(scene, mp, wo, hit, lam, rng):
     """One NEE estimate (reference ``integrator.rs:87-137``): sample the
-    light + sample the BSDF, MIS both, divide by the light-choice pdf."""
-    N = wo.shape[0]
-    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
-    u_light = jax.random.uniform(k1, (N,))
+    light + sample the BSDF, MIS both, divide by the light-choice pdf.
+    Used where the path *terminates* at the vertex (direct-light
+    integrator) so no extension ray exists to carry the BSDF strategy."""
+    u_light = _randfloat(rng, S_LIGHT)
     light, pdf_light = trace.sample_light(scene, u_light)
 
     # branch A: sample the light
-    u_sq = jax.random.uniform(k2, (N, 2))
+    u_sq = jnp.stack([_randfloat(rng, S_SQ0), _randfloat(rng, S_SQ1)], -1)
     wi_a = trace.sample_towards(scene, light, hit["p"], u_sq)
     wi_a = jax.lax.stop_gradient(wi_a)
-    contrib_a = _shadow_branch(scene, mp, wo, wi_a, hit, light, lam, True, k5)
+    contrib_a = _shadow_branch(scene, mp, wo, wi_a, hit, light, lam, True,
+                               rng, S_OCC)
 
     # branch B: sample the BSDF
-    u_lobe = jax.random.uniform(k3, (N,))
-    u_sq2 = jax.random.uniform(k4, (N, 2))
+    u_lobe = _randfloat(rng, S_LOBE)
+    u_sq2 = jnp.stack([_randfloat(rng, S_SQ2), _randfloat(rng, S_SQ3)], -1)
     wi_b, ok_b, _ = bsdf.sample(mp, wo, hit["ns"], hit["backface"], lam, u_lobe, u_sq2)
-    contrib_b = _shadow_branch(scene, mp, wo, wi_b, hit, light, lam, False, k6)
+    contrib_b = _shadow_branch(scene, mp, wo, wi_b, hit, light, lam, False,
+                               rng, S_OCCB)
     contrib_b = jnp.where(ok_b[..., None], contrib_b, 0.0)
 
     return (contrib_a + contrib_b) / jnp.maximum(pdf_light[..., None], _TINY)
 
 
-def nee_light_branch(scene, mp, wo, hit, lam, key):
+def nee_light_branch(scene, mp, wo, hit, lam, rng):
     """One light-sampled NEE estimate — the light branch of reference
     ``integrator.rs:96-112`` only, divided by the light-choice pdf.
 
@@ -103,14 +122,13 @@ def nee_light_branch(scene, mp, wo, hit, lam, key):
     :func:`emitter_mis_weight`).  Same estimator in expectation, but one
     full-scene occlusion sweep per bounce instead of two — the dominant
     wavefront cost."""
-    N = wo.shape[0]
-    k1, k2, k3 = jax.random.split(key, 3)
-    u_light = jax.random.uniform(k1, (N,))
+    u_light = _randfloat(rng, S_LIGHT)
     light, pdf_light = trace.sample_light(scene, u_light)
-    u_sq = jax.random.uniform(k2, (N, 2))
+    u_sq = jnp.stack([_randfloat(rng, S_SQ0), _randfloat(rng, S_SQ1)], -1)
     wi = trace.sample_towards(scene, light, hit["p"], u_sq)
     wi = checkpoint_name(jax.lax.stop_gradient(wi), "geom")
-    contrib = _shadow_branch(scene, mp, wo, wi, hit, light, lam, True, k3)
+    contrib = _shadow_branch(scene, mp, wo, wi, hit, light, lam, True,
+                             rng, S_OCC)
     return contrib / jnp.maximum(pdf_light[..., None], _TINY)
 
 
@@ -139,24 +157,22 @@ def emitter_mis_weight(scene, o, d, hit, p_sct, did_nee):
     return jnp.where(did_nee, jnp.where(ok, w, 1.0), 1.0)
 
 
-def nee_rays(scene, mp, wo, gathered, hit, lam, key):
+def nee_rays(scene, mp, wo, gathered, hit, lam, rng):
     """Average ``n_shadow_rays`` light-branch NEE estimates, scaled by path
     throughput (reference ``integrator.rs:74-85`` with the BSDF branch
     moved onto the extension ray — see :func:`nee_light_branch`)."""
     n = scene.n_shadow_rays
     acc = 0.0
     for i in range(n):
-        acc = acc + nee_light_branch(scene, mp, wo, hit, lam,
-                                     jax.random.fold_in(key, i))
+        acc = acc + nee_light_branch(scene, mp, wo, hit, lam, _fold(rng, i))
     return gathered * acc / n
 
 
-def shadow_rays(scene, mp, wo, gathered, hit, lam, key):
+def shadow_rays(scene, mp, wo, gathered, hit, lam, rng):
     """Average ``n_shadow_rays`` NEE estimates, scaled by path throughput
     (reference ``integrator.rs:74-85``)."""
     n = scene.n_shadow_rays
     acc = 0.0
     for i in range(n):
-        acc = acc + single_shadow_ray(scene, mp, wo, hit, lam,
-                                      jax.random.fold_in(key, i))
+        acc = acc + single_shadow_ray(scene, mp, wo, hit, lam, _fold(rng, i))
     return gathered * acc / n

@@ -14,17 +14,26 @@ from lumo_tpu.bsdf import eval as bsdf
 from lumo_tpu.color import wavelength
 from lumo_tpu.config import RADIANCE
 from lumo_tpu.geometry import intersect as geo
-from lumo_tpu.integrators import common
+from lumo_tpu.integrators import common, path_trace
+from lumo_tpu.sampling.samplers import _hash_u32, _randfloat
 from lumo_tpu.scene import trace
 
 _TINY = 1e-30
 MAX_RECURSION = 50    # reference ``direct_light.rs:3``
 
+_S_LOBE = jnp.uint32(0x632BE59B)
+_S_SQ0 = jnp.uint32(0x85297A4D)
+_S_SQ1 = jnp.uint32(0xD6E8FEB8)
+_S_MED = jnp.uint32(0xE7037ED1)
 
-def integrate(scene, o, d, lam, key, max_depth=MAX_RECURSION):
+
+def integrate(scene, o, d, lam, key=None, max_depth=MAX_RECURSION,
+              ray_key=None):
     """Returns (radiance (N, 4), lam_out, depth)."""
     N = o.shape[0]
     dt = o.dtype
+    if ray_key is None:
+        ray_key = path_trace.ray_keys(key, N)
     state = {
         "o": o, "d": d, "lam": lam,
         "radiance": jnp.zeros((N, 4), dt),
@@ -32,15 +41,15 @@ def integrate(scene, o, d, lam, key, max_depth=MAX_RECURSION):
         "alive": jnp.ones((N,), bool),
         "depth": jnp.zeros((N,), jnp.int32),
         "bounce": jnp.zeros((), jnp.int32),
-        "key": key,
+        "rng": jnp.asarray(ray_key, jnp.uint32),
     }
 
     def cond(s):
         return jnp.any(s["alive"]) & (s["bounce"] <= max_depth)
 
     def body(s):
-        key, k_nee, k_lobe, k_sq, k_med = jax.random.split(s["key"], 5)
-        hit = trace.intersect(scene, s["o"], s["d"], key=k_med)
+        rng = _hash_u32(s["rng"] + jnp.uint32(0x9E3779B9))
+        hit = trace.intersect(scene, s["o"], s["d"], rng=rng, salt=_S_MED)
         alive = s["alive"] & hit["valid"]
         wo = -s["d"]
         lam = s["lam"]
@@ -50,8 +59,9 @@ def integrate(scene, o, d, lam, key, max_depth=MAX_RECURSION):
 
         mp = bsdf.gather_params(scene.materials, hit["mat"], lam, hit["uv"],
                                 scene.textures, scene.tex_kinds, t=hit["t"])
-        u_lobe = jax.random.uniform(k_lobe, (N,))
-        u_sq = jax.random.uniform(k_sq, (N, 2))
+        u_lobe = _randfloat(rng, _S_LOBE)
+        u_sq = jnp.stack([_randfloat(rng, _S_SQ0), _randfloat(rng, _S_SQ1)],
+                         axis=-1)
         wi, sample_ok, lam2 = bsdf.sample(mp, wo, hit["ns"], hit["backface"],
                                           lam, u_lobe, u_sq)
         mp2 = bsdf.gather_params(scene.materials, hit["mat"], lam2, hit["uv"],
@@ -66,7 +76,7 @@ def integrate(scene, o, d, lam, key, max_depth=MAX_RECURSION):
         alive = alive & sample_ok
 
         # non-specular: single NEE then stop (reference ``direct_light.rs:27-36``)
-        nee = common.shadow_rays(scene, mp2, wo, gathered0, hit, lam2, k_nee)
+        nee = common.shadow_rays(scene, mp2, wo, gathered0, hit, lam2, rng)
         stop_nee = alive & ~mp["is_specular"]
         radiance = radiance + jnp.where(stop_nee[..., None], nee, 0.0)
         alive = alive & mp["is_specular"]
@@ -96,7 +106,7 @@ def integrate(scene, o, d, lam, key, max_depth=MAX_RECURSION):
             "alive": alive,
             "depth": s["depth"] + jnp.where(alive, 1, 0),
             "bounce": s["bounce"] + 1,
-            "key": key,
+            "rng": rng,
         }
 
     out = jax.lax.while_loop(cond, body, state)

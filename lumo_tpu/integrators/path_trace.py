@@ -19,6 +19,7 @@ from lumo_tpu.color import space, wavelength
 from lumo_tpu.config import RADIANCE
 from lumo_tpu.geometry import intersect as geo
 from lumo_tpu.integrators import common
+from lumo_tpu.sampling.samplers import _hash_u32, _randfloat
 from lumo_tpu.scene import trace
 
 _TINY = 1e-30
@@ -26,9 +27,22 @@ _TINY = 1e-30
 RR_DEPTH = 5          # reference ``path_trace.rs:3``
 MAX_DEPTH = 64        # hard wavefront bound (RR terminates long before)
 
+_S_LOBE = jnp.uint32(0x632BE59B)
+_S_SQ0 = jnp.uint32(0x85297A4D)
+_S_SQ1 = jnp.uint32(0xD6E8FEB8)
+_S_RR = jnp.uint32(0xA0761D64)
+_S_MED = jnp.uint32(0xE7037ED1)
 
-def integrate(scene, o, d, lam, key, delta=1.0, max_depth=MAX_DEPTH,
-              fixed_depth=None):
+
+def ray_keys(key, n):
+    """Default per-ray counter states when the caller has no per-ray ids:
+    hash of (key, lane)."""
+    base = jax.random.bits(key, (), jnp.uint32)
+    return _hash_u32(jnp.arange(n, dtype=jnp.uint32) ^ base)
+
+
+def integrate(scene, o, d, lam, key=None, delta=1.0, max_depth=MAX_DEPTH,
+              fixed_depth=None, ray_key=None):
     """Trace a wavefront of N camera rays to completion.
 
     o, d: (N, 3); lam: (N, 4) hero wavelengths; delta: RR threshold.
@@ -36,10 +50,16 @@ def integrate(scene, o, d, lam, key, delta=1.0, max_depth=MAX_DEPTH,
     instead of ``lax.while_loop`` — required for reverse-mode autodiff
     (differentiable rendering); the while_loop path is faster for
     forward-only rendering because it exits when every lane is dead.
+    ``ray_key``: (N,) uint32 per-ray counter states — all bounce-loop
+    randomness is a pure hash of these, so results are independent of
+    lane placement (sharded == single-device, bit-exact).  Derived from
+    ``key`` when not given.
     Returns (radiance (N, 4), lam_out (N, 4), depth (N,)).
     """
     N = o.shape[0]
     dt = o.dtype
+    if ray_key is None:
+        ray_key = ray_keys(key, N)
     state = {
         "o": o, "d": d, "lam": lam,
         "radiance": jnp.zeros((N, 4), dt),
@@ -49,15 +69,15 @@ def integrate(scene, o, d, lam, key, delta=1.0, max_depth=MAX_DEPTH,
         "p_sct": jnp.ones((N,), dt),
         "depth": jnp.zeros((N,), jnp.int32),
         "bounce": jnp.zeros((), jnp.int32),
-        "key": key,
+        "rng": jnp.asarray(ray_key, jnp.uint32),
     }
 
     def cond(s):
         return jnp.any(s["alive"]) & (s["bounce"] < max_depth)
 
     def body(s):
-        key, k_nee, k_lobe, k_sq, k_rr, k_med = jax.random.split(s["key"], 6)
-        hit = trace.intersect(scene, s["o"], s["d"], key=k_med)
+        rng = _hash_u32(s["rng"] + jnp.uint32(0x9E3779B9))
+        hit = trace.intersect(scene, s["o"], s["d"], rng=rng, salt=_S_MED)
         # the hit record is the "geometry tape": under the fixed-depth remat
         # policy it is saved, so the backward sweep recomputes only the
         # material-dependent shading math — never the intersection sweeps
@@ -77,8 +97,9 @@ def integrate(scene, o, d, lam, key, delta=1.0, max_depth=MAX_DEPTH,
                         scene.textures, scene.tex_kinds, t=hit["t"])
         mp2 = mp
 
-        u_lobe = jax.random.uniform(k_lobe, (N,))
-        u_sq = jax.random.uniform(k_sq, (N, 2))
+        u_lobe = _randfloat(rng, _S_LOBE)
+        u_sq = jnp.stack([_randfloat(rng, _S_SQ0), _randfloat(rng, _S_SQ1)],
+                         axis=-1)
         wi, sample_ok, _ = bsdf.sample(mp, wo, hit["ns"], hit["backface"],
                                        lam2, u_lobe, u_sq)
         wi = checkpoint_name(wi, "geom")
@@ -100,7 +121,7 @@ def integrate(scene, o, d, lam, key, delta=1.0, max_depth=MAX_DEPTH,
         alive = alive & sample_ok
 
         # NEE at non-delta vertices (reference ``path_trace.rs:30-40``)
-        nee = common.nee_rays(scene, mp2, wo, gathered0, hit, lam2, k_nee)
+        nee = common.nee_rays(scene, mp2, wo, gathered0, hit, lam2, rng)
         do_nee = alive & ~mp["is_delta"]
         radiance = radiance + jnp.where(do_nee[..., None], nee, 0.0)
 
@@ -123,7 +144,7 @@ def integrate(scene, o, d, lam, key, delta=1.0, max_depth=MAX_DEPTH,
         # russian roulette after RR_DEPTH (reference ``path_trace.rs:65-72``)
         lum = space.luminance(gathered, lam2)
         rr_prob = jnp.minimum(lum / delta, 1.0)
-        u_rr = jax.random.uniform(k_rr, (N,))
+        u_rr = _randfloat(rng, _S_RR)
         do_rr = s["depth"] >= RR_DEPTH
         killed = do_rr & (u_rr > rr_prob)
         alive = alive & ~killed
@@ -143,7 +164,7 @@ def integrate(scene, o, d, lam, key, delta=1.0, max_depth=MAX_DEPTH,
             "p_sct": jnp.where(alive, p_sct, s["p_sct"]),
             "depth": s["depth"] + jnp.where(alive, 1, 0),
             "bounce": s["bounce"] + 1,
-            "key": key,
+            "rng": rng,
         }
 
     if fixed_depth is None:

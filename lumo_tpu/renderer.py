@@ -47,6 +47,7 @@ class Renderer:
         self._batch = None  # samples per compiled step (auto)
         self._delta = 1.0   # RR threshold
         self._debug = False  # paint NaN/neg/huge radiance (tone_mapping.rs:42-56)
+        self._devices = None  # shard over n devices (None = all available)
 
     # fluent config (mirrors reference ``renderer.rs:66-99``)
     def samples(self, n):
@@ -93,6 +94,14 @@ class Renderer:
         self._batch = int(n)
         return self
 
+    def devices(self, n):
+        """Shard rendering over the first `n` local devices (default: all).
+        TPU replacement of the reference's ``threads()``
+        (``renderer.rs:76-79``): rays are the data-parallel axis, the
+        scene is replicated, films psum over ICI (``lumo_tpu.parallel``)."""
+        self._devices = int(n)
+        return self
+
     # ------------------------------------------------------------------
     def _auto_batch(self):
         if self._batch is not None:
@@ -102,15 +111,24 @@ class Renderer:
         per = max(1, int(2_000_000 / max(w * h, 1)))
         return max(1, min(per, self._samples))
 
-    def _make_step(self, spp_batch, total_spp):
+    def _make_work(self, spp_batch, total_spp):
+        """Build work(ray_ids, key, sample_base, shard_id) → (film_partial,
+        rays): the mesh-agnostic per-ray render function.  ray_ids index
+        the global (spp_batch × n_pix) wavefront; all randomness of the
+        path/direct integrators is a counter hash of (pixel, sample index,
+        seed), so any partition of ray_ids over any mesh produces the
+        bit-identical image (BDPT additionally folds shard_id into its jax
+        key — deterministic per mesh shape)."""
         scene = self.scene
         camera = self.camera
         filt = self._filter
         sampler_kind = self._sampler
         tone_kind = self._tone_map
         tone_arg = self._tone_arg
+        seed = self._seed
         if self._integrator == PATH_TRACE:
-            integrator = functools.partial(path_trace.integrate, delta=self._delta)
+            integrator = functools.partial(path_trace.integrate,
+                                           delta=self._delta)
         elif self._integrator == DIRECT_LIGHT:
             integrator = direct_light.integrate
         elif self._integrator == BD_PATH_TRACE:
@@ -119,45 +137,46 @@ class Renderer:
             raise ValueError(f"unknown integrator {self._integrator}")
         is_bdpt = self._integrator == BD_PATH_TRACE
         w, h = camera.resolution
+        n_pix = w * h
         wbm = jnp.asarray(film_mod.wb_matrix(self._colorspace, self._illuminant),
                           jnp.float32)
         delta = self._delta
         debug = self._debug
 
-        @jax.jit
-        def step(film, key, sample_base):
-            n_pix = w * h
-            pix = jnp.arange(n_pix, dtype=jnp.uint32)
+        def work(ray_ids, key, sample_base, shard_id):
+            N = ray_ids.shape[0]
+            pix = (ray_ids % n_pix).astype(jnp.uint32)
+            sidx = (ray_ids // n_pix).astype(jnp.uint32) + sample_base
             px = (pix % w).astype(jnp.float32)
             py = (pix // w).astype(jnp.float32)
-            # (spp_batch, n_pix) wavefronts flattened
-            sidx = (sample_base + jnp.arange(spp_batch, dtype=jnp.uint32))[:, None]
-            pixb = jnp.broadcast_to(pix[None, :], (spp_batch, n_pix))
-            offs = samplers.pixel_offsets(sampler_kind, sidx * jnp.uint32(1) +
-                                          jnp.zeros_like(pixb), total_spp,
-                                          pixb, self._seed)
-            raster = jnp.stack([px[None, :] + offs[..., 0],
-                                py[None, :] + offs[..., 1]], axis=-1)
-            raster = raster.reshape(-1, 2)
-            N = raster.shape[0]
-
-            k_lam, k_dof, k_int = jax.random.split(key, 3)
+            offs = samplers.pixel_offsets(sampler_kind, sidx, total_spp,
+                                          pix, seed)
+            raster = jnp.stack([px + offs[..., 0], py + offs[..., 1]], axis=-1)
             u_lam = samplers._randfloat(
-                pixb.reshape(-1), jnp.uint32(self._seed * 7919 + 13) ^
-                (sidx * jnp.uint32(0x9E3779B9) + jnp.zeros_like(pixb)).reshape(-1))
+                pix, jnp.uint32((seed * 7919 + 13) & 0xFFFFFFFF)
+                ^ (sidx * jnp.uint32(0x9E3779B9)))
             lam = wavelength.sample(u_lam)
-            u_dof = jax.random.uniform(k_dof, (N, 2))
+            ray_key = samplers._hash_u32(
+                pix ^ samplers._hash_u32(
+                    sidx ^ jnp.uint32((seed * 0x85EBCA6B + 0x9E3779B9)
+                                      & 0xFFFFFFFF)))
+            u_dof = jnp.stack(
+                [samplers._randfloat(ray_key, jnp.uint32(0x7FB5D329)),
+                 samplers._randfloat(ray_key, jnp.uint32(0x8AD8CE61))], -1)
             o, d = camera.generate_ray(raster, u_dof)
 
             if is_bdpt:
+                k_int = jax.random.fold_in(key, shard_id)
                 radiance, lam_out, sr, sc, sm, depth = bdpt.integrate(
                     scene, camera, o, d, lam, k_int, delta=delta)
             else:
-                radiance, lam_out, depth = integrator(scene, o, d, lam, k_int)
+                radiance, lam_out, depth = integrator(scene, o, d, lam,
+                                                      ray_key=ray_key)
             color = film_mod.tone_map(tone_kind, radiance, lam_out, tone_arg,
                                       debug=debug)
             rgb = film_mod.spectral_to_rgb(color, lam_out, wbm)
-            film = film_mod.add_samples(film, filt, raster, rgb, (w, h))
+            film_p = film_mod.new_film((w, h))
+            film_p = film_mod.add_samples(film_p, filt, raster, rgb, (w, h))
             if is_bdpt and sr.shape[0]:
                 # light-traced splats land at their own raster coords
                 # (reference ``film/tile.rs:96-111``)
@@ -166,18 +185,48 @@ class Renderer:
                 sc = film_mod.tone_map(tone_kind, sc, lam_s, tone_arg,
                                        debug=debug)
                 rgb_s = film_mod.spectral_to_rgb(sc, lam_s, wbm)
-                film = film_mod.add_samples(film, filt, sr, rgb_s, (w, h),
-                                            splat=True, mask=sm)
+                film_p = film_mod.add_samples(film_p, filt, sr, rgb_s, (w, h),
+                                              splat=True, mask=sm)
             rays = jnp.sum(depth) + N
-            return film, rays
+            return film_p, rays
+
+        return work
+
+    def _make_step(self, spp_batch, total_spp, mesh=None):
+        """jit-compiled film accumulation step; sharded when a mesh with
+        more than one device is given."""
+        work = self._make_work(spp_batch, total_spp)
+        n_rays = self.camera.resolution[0] * self.camera.resolution[1] \
+            * spp_batch
+        if mesh is not None and mesh.devices.size > 1:
+            from lumo_tpu.parallel import mesh as mesh_mod
+            return mesh_mod.shard_step(mesh, work, n_rays)
+
+        @jax.jit
+        def step(film, key, sample_base):
+            ray_ids = jnp.arange(n_rays, dtype=jnp.int32)
+            film_p, rays = work(ray_ids, key, sample_base, 0)
+            return jax.tree.map(jnp.add, film, film_p), rays
 
         return step
+
+    def _mesh(self):
+        """The device mesh to render over, or None for single-device."""
+        from lumo_tpu.parallel import mesh as mesh_mod
+        n = self._devices if self._devices is not None else len(jax.devices())
+        if n <= 1:
+            return None
+        w, h = self.camera.resolution
+        if (w * h) % n:
+            raise ValueError(f"pixel count {w * h} must divide {n} devices")
+        return mesh_mod.make_mesh(n)
 
     def render(self, verbose=True):
         """Render and return the linear-RGB image (H, W, 3) numpy array."""
         w, h = self.camera.resolution
         spp_batch = self._auto_batch()
-        step = self._make_step(spp_batch, self._samples)
+        mesh = self._mesh()
+        step = self._make_step(spp_batch, self._samples, mesh=mesh)
         film = film_mod.new_film((w, h))
         key = jax.random.PRNGKey(self._seed)
         total_rays = 0
@@ -194,9 +243,10 @@ class Renderer:
         img = film_mod.finalize(film, self._filter, 1.0 / self._samples)
         if verbose:
             el = time.time() - t0
-            print(f"Rendered {w}x{h}@{self._samples}spp: {total_rays / 1e6:.1f} Mrays "
-                  f"in {el:.1f}s = {total_rays / max(el, 1e-9) / 1e6:.2f} Mray/s",
-                  flush=True)
+            nd = mesh.devices.size if mesh is not None else 1
+            print(f"Rendered {w}x{h}@{self._samples}spp on {nd} device(s): "
+                  f"{total_rays / 1e6:.1f} Mrays in {el:.1f}s = "
+                  f"{total_rays / max(el, 1e-9) / 1e6:.2f} Mray/s", flush=True)
         return np.asarray(img)
 
     def save_png(self, img, path):

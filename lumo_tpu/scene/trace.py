@@ -74,24 +74,36 @@ def _closest(scene: SceneData, o, d, t_max):
     return t, prim
 
 
-def _medium_free_flight(scene: SceneData, key, shape):
+def _medium_free_flight(scene: SceneData, key, shape, rng=None, salt=0):
     """Sample a medium free-flight distance (world units) per lane
     (reference ``medium.rs:99-127``): density at one uniformly sampled
     wavelength, exponential flight scaled by t_scale.  Returns
-    (t_med, has_density)."""
+    (t_med, has_density).
+
+    Draws come from the per-ray counter state ``rng`` (shard-invariant)
+    when given, else from the jax PRNG ``key``."""
+    from lumo_tpu.sampling.samplers import _randfloat
     med = scene.medium
-    u = jax.random.uniform(key, shape + (2,))
-    lam_u = wavelength.sample_uniform_one(u[..., 0])
+    if rng is not None:
+        salt = jnp.uint32(salt)
+        u0 = _randfloat(rng, salt ^ jnp.uint32(0x94D049BB))
+        u1 = _randfloat(rng, salt ^ jnp.uint32(0xBF58476D))
+    else:
+        u = jax.random.uniform(key, shape + (2,))
+        u0, u1 = u[..., 0], u[..., 1]
+    lam_u = wavelength.sample_uniform_one(u0)
     density = uplift.sample(med["sigma_t"][None, :], lam_u[..., None])[..., 0]
-    inside_t = -jnp.log(jnp.maximum(1.0 - u[..., 1], 1e-30)) \
+    inside_t = -jnp.log(jnp.maximum(1.0 - u1, 1e-30)) \
         / jnp.maximum(density, 1e-30)
     return inside_t / med["t_scale"], density > 0.0
 
 
-def intersect(scene: SceneData, o, d, t_max=None, key=None):
+def intersect(scene: SceneData, o, d, t_max=None, key=None, rng=None,
+              salt=0):
     """Closest hit for a wavefront. o, d: (N, 3). Returns a hit dict.
-    ``key`` drives the medium free-flight sampling (required when the
-    scene has a medium, reference ``scene.rs:118-147``)."""
+    ``key`` (jax PRNG) or ``rng`` (per-ray uint32 counter state) drives
+    the medium free-flight sampling (required when the scene has a
+    medium, reference ``scene.rs:118-147``)."""
     N = o.shape[0]
     if t_max is None:
         t_max = INF
@@ -104,13 +116,23 @@ def intersect(scene: SceneData, o, d, t_max=None, key=None):
     sidx = jnp.clip(prim - T, 0, max(scene.n_spheres - 1, 0))
 
     if T:
-        g = lambda arr: arr[tidx]
-        dt = geo.triangle_detail(o, d, g(scene.tri_a), g(scene.tri_b), g(scene.tri_c),
-                                 g(scene.tri_na), g(scene.tri_nb), g(scene.tri_nc),
-                                 g(scene.tri_uva), g(scene.tri_uvb), g(scene.tri_uvc))
+        from lumo_tpu import ops
+        if T <= ops.ONEHOT_MAX_ROWS:
+            rows = ops.take_rows_many(
+                [scene.tri_a, scene.tri_b, scene.tri_c, scene.tri_na,
+                 scene.tri_nb, scene.tri_nc, scene.tri_uva, scene.tri_uvb,
+                 scene.tri_uvc], tidx)
+        else:
+            rows = [a[tidx] for a in
+                    (scene.tri_a, scene.tri_b, scene.tri_c, scene.tri_na,
+                     scene.tri_nb, scene.tri_nc, scene.tri_uva,
+                     scene.tri_uvb, scene.tri_uvc)]
+        dt = geo.triangle_detail(o, d, *rows)
         mat_tri = scene.tri_mat[tidx]
     if scene.n_spheres:
-        ds = geo.sphere_detail(o, d, t, scene.sph_center[sidx], scene.sph_radius[sidx])
+        from lumo_tpu import ops
+        ds = geo.sphere_detail(o, d, t, ops.take_rows(scene.sph_center, sidx),
+                               scene.sph_radius[sidx])
         mat_sph = scene.sph_mat[sidx]
 
     if T and scene.n_spheres:
@@ -140,8 +162,10 @@ def intersect(scene: SceneData, o, d, t_max=None, key=None):
         "is_medium": jnp.zeros(N, bool),
     }
     if scene.medium is not None:
-        assert key is not None, "scene has a medium: intersect needs a key"
-        t_med, has_density = _medium_free_flight(scene, key, o.shape[:-1])
+        assert key is not None or rng is not None, \
+            "scene has a medium: intersect needs a key or rng"
+        t_med, has_density = _medium_free_flight(scene, key, o.shape[:-1],
+                                                 rng=rng, salt=salt)
         p_med = o + t_med[..., None] * d
         in_bounds = jnp.all((p_med >= scene.bounds[0])
                             & (p_med <= scene.bounds[1]), axis=-1)
@@ -164,14 +188,16 @@ def intersect(scene: SceneData, o, d, t_max=None, key=None):
     return out
 
 
-def occluded(scene: SceneData, o, d, t_max, key=None):
+def occluded(scene: SceneData, o, d, t_max, key=None, rng=None, salt=0):
     """Any-hit within (0, t_max). t_max: (N,).  A medium stochastically
     blocks shadow rays by free-flight sampling
     (reference ``scene.rs:171-177``)."""
     med_occ = None
     if scene.medium is not None:
-        assert key is not None, "scene has a medium: occluded needs a key"
-        t_med, has_density = _medium_free_flight(scene, key, o.shape[:-1])
+        assert key is not None or rng is not None, \
+            "scene has a medium: occluded needs a key or rng"
+        t_med, has_density = _medium_free_flight(scene, key, o.shape[:-1],
+                                                 rng=rng, salt=salt)
         med_occ = has_density & (t_med > 0.0) & (t_med < t_max)
     if scene.bvh is not None or scene.kdtree is not None:
         from lumo_tpu.accel import traverse
@@ -198,8 +224,9 @@ def occluded(scene: SceneData, o, d, t_max, key=None):
 
 def emitted(scene: SceneData, mat, lam, uv, backface):
     """Emitted radiance (N, 4) of material ids `mat` at wavelengths `lam`."""
+    from lumo_tpu import ops
     m = scene.materials
-    ke = uplift.sample(m["ke"][mat][..., None, :], lam)         # (N, 4)
+    ke = uplift.sample(ops.take_rows(m["ke"], mat)[..., None, :], lam)
     if scene.textures is not None:
         from lumo_tpu import texture as texture_mod
         tid = m["ke_tex"][mat]
@@ -231,6 +258,7 @@ def sample_light(scene: SceneData, u):
 def _light_geom(scene: SceneData, light):
     """Gather the chosen light's primitive data. Returns dict with
     is_tri, tri (a,b,c), sphere (center, radius), mat."""
+    from lumo_tpu import ops
     prim = scene.light_prim[light]
     T = scene.n_tris
     is_tri = prim < T if T else jnp.zeros(light.shape, bool)
@@ -238,15 +266,16 @@ def _light_geom(scene: SceneData, light):
     sidx = jnp.clip(prim - T, 0, max(scene.n_spheres - 1, 0))
     out = {"prim": prim, "is_tri": is_tri}
     if T:
-        out["a"] = scene.tri_a[tidx]
-        out["b"] = scene.tri_b[tidx]
-        out["c"] = scene.tri_c[tidx]
-        out["na"] = scene.tri_na[tidx]
-        out["nb"] = scene.tri_nb[tidx]
-        out["nc"] = scene.tri_nc[tidx]
+        tri_tables = (scene.tri_a, scene.tri_b, scene.tri_c, scene.tri_na,
+                      scene.tri_nb, scene.tri_nc)
+        if T <= ops.ONEHOT_MAX_ROWS:
+            vals = ops.take_rows_many(list(tri_tables), tidx)
+        else:
+            vals = [a[tidx] for a in tri_tables]
+        out["a"], out["b"], out["c"], out["na"], out["nb"], out["nc"] = vals
         out["mat_tri"] = scene.tri_mat[tidx]
     if scene.n_spheres:
-        out["center"] = scene.sph_center[sidx]
+        out["center"] = ops.take_rows(scene.sph_center, sidx)
         out["radius"] = scene.sph_radius[sidx]
         out["mat_sph"] = scene.sph_mat[sidx]
     return out
