@@ -43,21 +43,24 @@ def shard_step(mesh: Mesh, work, n_rays: int):
     n_dev = mesh.devices.size
     assert n_rays % n_dev == 0, "wavefront must divide the mesh"
 
-    def shard_fn(ray_ids, key, sample_base):
+    def shard_fn(ray_ids, key, sample_base, stats):
         shard_id = jax.lax.axis_index(AXIS)
-        film_p, rays = work(ray_ids, key, sample_base, shard_id)
+        film_p, stats_p, rays = work(ray_ids, key, sample_base, shard_id,
+                                     stats)
         film_p = jax.tree.map(lambda x: jax.lax.psum(x, AXIS), film_p)
-        return film_p, jax.lax.psum(rays, AXIS)
+        stats_p = jax.tree.map(lambda x: jax.lax.psum(x, AXIS), stats_p)
+        return film_p, stats_p, jax.lax.psum(rays, AXIS)
 
     sharded = shard_map(shard_fn, mesh=mesh,
-                        in_specs=(P(AXIS), P(), P()),
-                        out_specs=(P(), P()),
+                        in_specs=(P(AXIS), P(), P(), P()),
+                        out_specs=(P(), P(), P()),
                         check_rep=False)
 
     @jax.jit
-    def step(film, key, sample_base):
+    def step(film, stats, key, sample_base):
         ray_ids = jnp.arange(n_rays, dtype=jnp.int32)
-        film_p, rays = sharded(ray_ids, key, sample_base)
-        return jax.tree.map(jnp.add, film, film_p), rays
+        film_p, stats_p, rays = sharded(ray_ids, key, sample_base, stats)
+        return (jax.tree.map(jnp.add, film, film_p),
+                jax.tree.map(jnp.add, stats, stats_p), rays)
 
     return step

@@ -45,7 +45,7 @@ class Renderer:
         self._colorspace = "DCI-P3"
         self._illuminant = "D65"
         self._batch = None  # samples per compiled step (auto)
-        self._delta = 1.0   # RR threshold
+        self._delta = None  # None → adaptive RR (task.rs:42-53); float → fixed
         self._debug = False  # paint NaN/neg/huge radiance (tone_mapping.rs:42-56)
         self._devices = None  # shard over n devices (None = all available)
 
@@ -94,6 +94,13 @@ class Renderer:
         self._batch = int(n)
         return self
 
+    def fixed_rr_delta(self, delta):
+        """Force a fixed Russian-roulette threshold instead of the default
+        per-pixel adaptive ``delta = sqrt(var/cost)`` from the running
+        sample statistics (reference ``renderer/task.rs:42-53``)."""
+        self._delta = float(delta)
+        return self
+
     def devices(self, n):
         """Shard rendering over the first `n` local devices (default: all).
         TPU replacement of the reference's ``threads()``
@@ -126,24 +133,18 @@ class Renderer:
         tone_kind = self._tone_map
         tone_arg = self._tone_arg
         seed = self._seed
-        if self._integrator == PATH_TRACE:
-            integrator = functools.partial(path_trace.integrate,
-                                           delta=self._delta)
-        elif self._integrator == DIRECT_LIGHT:
-            integrator = direct_light.integrate
-        elif self._integrator == BD_PATH_TRACE:
-            integrator = None  # handled inline below (returns splats too)
-        else:
+        if self._integrator not in (PATH_TRACE, DIRECT_LIGHT, BD_PATH_TRACE):
             raise ValueError(f"unknown integrator {self._integrator}")
         is_bdpt = self._integrator == BD_PATH_TRACE
+        is_direct = self._integrator == DIRECT_LIGHT
         w, h = camera.resolution
         n_pix = w * h
         wbm = jnp.asarray(film_mod.wb_matrix(self._colorspace, self._illuminant),
                           jnp.float32)
-        delta = self._delta
+        fixed_delta = self._delta
         debug = self._debug
 
-        def work(ray_ids, key, sample_base, shard_id):
+        def work(ray_ids, key, sample_base, shard_id, stats):
             N = ray_ids.shape[0]
             pix = (ray_ids % n_pix).astype(jnp.uint32)
             sidx = (ray_ids // n_pix).astype(jnp.uint32) + sample_base
@@ -165,13 +166,31 @@ class Renderer:
                  samplers._randfloat(ray_key, jnp.uint32(0x8AD8CE61))], -1)
             o, d = camera.generate_ray(raster, u_dof)
 
+            # Russian-roulette threshold: per-pixel adaptive
+            # delta = sqrt(var/cost) over all samples accumulated so far
+            # (reference ``renderer/task.rs:42-53``; 1e-5 floor while the
+            # variance estimate is empty/degenerate), or the fixed value.
+            if fixed_delta is not None:
+                delta = fixed_delta
+            else:
+                cnt = jnp.maximum(stats["n"], 1.0)
+                var = stats["f2"] - stats["f"] ** 2 / cnt
+                ok = (var > 0.0) & (stats["cost"] > 0.0) & (stats["n"] > 1.0)
+                delta_pix = jnp.where(
+                    ok, jnp.sqrt(jnp.where(ok, var, 1.0)
+                                 / jnp.maximum(stats["cost"], 1.0)), 1e-5)
+                delta = delta_pix[pix]
+
             if is_bdpt:
                 k_int = jax.random.fold_in(key, shard_id)
                 radiance, lam_out, sr, sc, sm, depth = bdpt.integrate(
                     scene, camera, o, d, lam, k_int, delta=delta)
+            elif is_direct:
+                radiance, lam_out, depth = direct_light.integrate(
+                    scene, o, d, lam, ray_key=ray_key)
             else:
-                radiance, lam_out, depth = integrator(scene, o, d, lam,
-                                                      ray_key=ray_key)
+                radiance, lam_out, depth = path_trace.integrate(
+                    scene, o, d, lam, ray_key=ray_key, delta=delta)
             color = film_mod.tone_map(tone_kind, radiance, lam_out, tone_arg,
                                       debug=debug)
             rgb = film_mod.spectral_to_rgb(color, lam_out, wbm)
@@ -187,10 +206,26 @@ class Renderer:
                 rgb_s = film_mod.spectral_to_rgb(sc, lam_s, wbm)
                 film_p = film_mod.add_samples(film_p, filt, sr, rgb_s, (w, h),
                                               splat=True, mask=sm)
+            # per-pixel running stats for the next batch's adaptive delta
+            # (luminance of the raw radiance + ray cost, ``task.rs:64-68``)
+            from lumo_tpu.color import space as space_mod
+            f_lum = space_mod.luminance(radiance, lam_out)
+            cost = depth.astype(jnp.float32) * 2.0 + 1.0
+            stats_p = {
+                "f": jnp.zeros(n_pix).at[pix].add(f_lum),
+                "f2": jnp.zeros(n_pix).at[pix].add(f_lum * f_lum),
+                "cost": jnp.zeros(n_pix).at[pix].add(cost),
+                "n": jnp.zeros(n_pix).at[pix].add(1.0),
+            }
             rays = jnp.sum(depth) + N
-            return film_p, rays
+            return film_p, stats_p, rays
 
         return work
+
+    @staticmethod
+    def new_stats(n_pix):
+        z = jnp.zeros(n_pix, jnp.float32)
+        return {"f": z, "f2": z, "cost": z, "n": z}
 
     def _make_step(self, spp_batch, total_spp, mesh=None):
         """jit-compiled film accumulation step; sharded when a mesh with
@@ -203,10 +238,11 @@ class Renderer:
             return mesh_mod.shard_step(mesh, work, n_rays)
 
         @jax.jit
-        def step(film, key, sample_base):
+        def step(film, stats, key, sample_base):
             ray_ids = jnp.arange(n_rays, dtype=jnp.int32)
-            film_p, rays = work(ray_ids, key, sample_base, 0)
-            return jax.tree.map(jnp.add, film, film_p), rays
+            film_p, stats_p, rays = work(ray_ids, key, sample_base, 0, stats)
+            return (jax.tree.map(jnp.add, film, film_p),
+                    jax.tree.map(jnp.add, stats, stats_p), rays)
 
         return step
 
@@ -228,13 +264,15 @@ class Renderer:
         mesh = self._mesh()
         step = self._make_step(spp_batch, self._samples, mesh=mesh)
         film = film_mod.new_film((w, h))
+        stats = self.new_stats(w * h)
         key = jax.random.PRNGKey(self._seed)
         total_rays = 0
         t0 = time.time()
         n_batches = (self._samples + spp_batch - 1) // spp_batch
         for b in range(n_batches):
             kb = jax.random.fold_in(key, b)
-            film, rays = step(film, kb, jnp.uint32(b * spp_batch))
+            film, stats, rays = step(film, stats, kb,
+                                     jnp.uint32(b * spp_batch))
             total_rays += int(rays)
             if verbose and (b == 0 or (b + 1) % 8 == 0 or b == n_batches - 1):
                 el = time.time() - t0
