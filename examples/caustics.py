@@ -34,7 +34,8 @@ suzanne = load_mesh_or_blob("suzanne", subdiv=4, seed=7, amp=0.15).to_unit_size(
 
 camera = build_camera(origin=(0.0, 0.0, 2.0), zoom=3.0,
                       resolution=(args.res, args.res))
-r = Renderer(sb.build(), camera).integrator("bdpt").samples(args.spp)
+r = Renderer(sb.build(), camera).integrator("bdpt").samples(args.spp) \
+    .bdpt_depth(12)  # long specular chains through the glass (VERDICT r1)
 img = r.render()
 out = args.out or "caustics.png"
 r.save_png(img, out)

@@ -11,8 +11,6 @@ import numpy as np
 from lumo_tpu.camera import build_camera
 from lumo_tpu.color import uplift
 from lumo_tpu.renderer import Renderer
-from lumo_tpu.scene import shapes
-from lumo_tpu.scene.instance import Mesh
 from lumo_tpu.scene.materials import Material
 from lumo_tpu.scene.scene import SceneBuilder
 
@@ -32,10 +30,8 @@ sb = SceneBuilder()
 ground = -0.2
 r = 0.2
 
-# mirror ground disk
-dv, df = shapes.disk(n=128, center=(0.0, ground, 0.0), normal=(0, 1, 0),
-                     radius=100.0)
-Mesh(dv, df).add_to(sb, Material.mirror())
+# mirror ground disk — analytic, as in the reference (``circle.rs:28``)
+sb.add_disk((0.0, ground, 0.0), (0.0, 1.0, 0.0), 100.0, Material.mirror())
 
 sb.add_sphere((0.0, ground + r + 0.1, 0.0), r,
               Material.light(0.01 * np.ones(4), illuminant="D65"))

@@ -11,7 +11,6 @@ import numpy as np
 
 from lumo_tpu.camera import build_camera
 from lumo_tpu.renderer import Renderer
-from lumo_tpu.scene import shapes
 from lumo_tpu.scene.instance import Mesh
 from lumo_tpu.scene.materials import Material
 from lumo_tpu.scene.scene import SceneBuilder
@@ -21,12 +20,10 @@ sb = SceneBuilder()
 r = 10.0
 black = Material.diffuse((0.0, 0.0, 0.0))
 
-dv, df = shapes.disk(n=96, center=(0.0, -1.0, 0.0), normal=(0, 1, 0), radius=r)
-Mesh(dv, df).add_to(sb, black)                       # floor
-dv, df = shapes.disk(n=96, center=(0.0, 1.0, 0.0), normal=(0, -1, 0), radius=r)
-Mesh(dv, df).add_to(sb, black)                       # roof
-dv, df = shapes.disk(n=96, center=(1.0, 0.0, 0.0), normal=(-1, 0, 0), radius=r)
-Mesh(dv, df).add_to(sb, black)                       # right wall
+# analytic disks, as in the reference (``nefertiti.rs:12-60``)
+sb.add_disk((0.0, -1.0, 0.0), (0.0, 1.0, 0.0), r, black)    # floor
+sb.add_disk((0.0, 1.0, 0.0), (0.0, -1.0, 0.0), r, black)    # roof
+sb.add_disk((1.0, 0.0, 0.0), (-1.0, 0.0, 0.0), r, black)    # right wall
 
 # quad area light overhead
 sb.add_rectangle([-0.4, 0.99, -1.4], [-0.4, 0.99, -0.6], [0.4, 0.99, -0.6],

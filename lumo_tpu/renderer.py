@@ -48,6 +48,7 @@ class Renderer:
         self._delta = None  # None → adaptive RR (task.rs:42-53); float → fixed
         self._debug = False  # paint NaN/neg/huge radiance (tone_mapping.rs:42-56)
         self._devices = None  # shard over n devices (None = all available)
+        self._bdpt_depth = bdpt.MAX_VERTS  # max vertices per BDPT subpath
 
     # fluent config (mirrors reference ``renderer.rs:66-99``)
     def samples(self, n):
@@ -101,6 +102,15 @@ class Renderer:
         self._delta = float(delta)
         return self
 
+    def bdpt_depth(self, n):
+        """Maximum vertices per BDPT subpath (compile-time constant of the
+        step; default 6).  The reference caps at 1024
+        (``bd_path_trace.rs:7``) but RR (depth 5+) terminates almost all
+        paths far below; raise to >= 12 for caustics-class scenes where
+        long specular chains matter (BASELINE config 4)."""
+        self._bdpt_depth = int(n)
+        return self
+
     def devices(self, n):
         """Shard rendering over the first `n` local devices (default: all).
         TPU replacement of the reference's ``threads()``
@@ -143,6 +153,7 @@ class Renderer:
                           jnp.float32)
         fixed_delta = self._delta
         debug = self._debug
+        bdpt_depth = self._bdpt_depth
 
         def work(ray_ids, key, sample_base, shard_id, stats):
             N = ray_ids.shape[0]
@@ -184,7 +195,8 @@ class Renderer:
             if is_bdpt:
                 k_int = jax.random.fold_in(key, shard_id)
                 radiance, lam_out, sr, sc, sm, depth = bdpt.integrate(
-                    scene, camera, o, d, lam, k_int, delta=delta)
+                    scene, camera, o, d, lam, k_int, delta=delta,
+                    max_verts=bdpt_depth)
             elif is_direct:
                 radiance, lam_out, depth = direct_light.integrate(
                     scene, o, d, lam, ray_key=ray_key)

@@ -44,6 +44,15 @@ class SceneData:
     sph_center: Any
     sph_radius: Any
     sph_mat: Any
+    # analytic primitives — plane/disk/cone/cylinder (A, ...):
+    # rigid local frame (rot rows world→local, translation) + (radius,
+    # height) params (reference ``{plane,disk,cone,cylinder}.rs``)
+    ana_kind: Any
+    ana_rot: Any
+    ana_trans: Any
+    ana_radius: Any
+    ana_height: Any
+    ana_mat: Any
     # lights
     light_prim: Any       # (L,) global prim id
     light_pdf: Any        # (L,) sampling probability
@@ -68,6 +77,8 @@ class SceneData:
     n_normal_maps: int = dataclasses.field(metadata=dict(static=True))
     n_tris: int = dataclasses.field(metadata=dict(static=True))
     n_spheres: int = dataclasses.field(metadata=dict(static=True))
+    n_analytic: int = dataclasses.field(metadata=dict(static=True))
+    n_ana_lights: int = dataclasses.field(metadata=dict(static=True))
     n_lights: int = dataclasses.field(metadata=dict(static=True))
     n_shadow_rays: int = dataclasses.field(metadata=dict(static=True))
 
@@ -92,6 +103,7 @@ class SceneBuilder:
         self.textures = Textures()
         self._tri_chunks = []  # list of (geom dict, mat_idx, is_light)
         self._spheres = []     # list of (center, radius, mat_idx, is_light)
+        self._analytic = []    # list of (kind, rot, trans, r, h, mat, is_light)
         self._materials: list[Material] = []
         self.environment: Optional[Material] = None
         self.medium = None
@@ -180,6 +192,57 @@ class SceneBuilder:
                               mid, is_light))
         return mid
 
+    def _add_analytic(self, kind, rot, trans, radius, height, mat,
+                      light_ok=False):
+        from lumo_tpu.geometry import analytic
+        mid = mat if isinstance(mat, int) else self.material(mat)
+        is_light = self._materials[mid].kind == LIGHT
+        if is_light and not light_ok:
+            raise ValueError("only disks can be analytic lights "
+                             "(reference: Disk is the only Sampleable "
+                             "analytic primitive, disk.rs:131-160)")
+        self._analytic.append((int(kind), np.asarray(rot, np.float64),
+                               np.asarray(trans, np.float64), float(radius),
+                               float(height), mid, is_light))
+        return mid
+
+    def add_plane(self, p, n, mat: Material | int):
+        """Infinite plane through point p with normal n
+        (reference ``plane.rs:20-38``)."""
+        from lumo_tpu.geometry import analytic
+        rot = analytic.frame_from_normal(n)
+        return self._add_analytic(analytic.PLANE, rot, p, 0.0, 0.0, mat)
+
+    def add_disk(self, origin, normal, radius, mat: Material | int):
+        """Disk of `radius` at `origin` facing `normal`
+        (reference ``disk.rs:21-45``).  Disks may be lights (Sampleable,
+        ``disk.rs:131-160``)."""
+        from lumo_tpu.geometry import analytic
+        assert radius > 0.0
+        rot = analytic.frame_from_normal(normal)
+        return self._add_analytic(analytic.DISK, rot, origin, radius, 0.0,
+                                  mat, light_ok=True)
+
+    def add_cone(self, height, radius, mat: Material | int, transform=None):
+        """Cone: base circle of `radius` at y=0, apex at y=`height`
+        (reference ``cone.rs:14-25``); optional rigid/uniform-scale
+        transform (reference reaches it via ``Instance``)."""
+        from lumo_tpu.geometry import analytic
+        assert height > 0.0 and radius > 0.0
+        rot, trans, s = analytic.frame_from_transform(transform)
+        return self._add_analytic(analytic.CONE, rot, trans, radius * s,
+                                  height * s, mat)
+
+    def add_cylinder(self, height, radius, mat: Material | int,
+                     transform=None):
+        """Cylinder: base at y=0, top at y=`height`, of `radius`
+        (reference ``cylinder.rs:14-25``)."""
+        from lumo_tpu.geometry import analytic
+        assert height > 0.0 and radius > 0.0
+        rot, trans, s = analytic.frame_from_transform(transform)
+        return self._add_analytic(analytic.CYLINDER, rot, trans, radius * s,
+                                  height * s, mat)
+
     def set_environment_map(self, mat: Material):
         """Environment light: realized at build as a giant emissive sphere
         enclosing the scene (reference ``scene.rs:38-45``)."""
@@ -224,7 +287,8 @@ class SceneBuilder:
 
         T = len(tri["a"])
         S = len(self._spheres)
-        P = T + S
+        A = len(self._analytic)
+        P = T + S + A
 
         # ---- triangle accelerator: BVH (permutes triangles into leaf
         #      order) or SAH kd-tree (leaves point through an indirection
@@ -250,6 +314,17 @@ class SceneBuilder:
         sph_radius = np.array([s[1] for s in self._spheres]) if S else np.zeros(0)
         sph_mat = np.array([s[2] for s in self._spheres], np.int32) if S else np.zeros(0, np.int32)
 
+        ana_kind = np.array([a[0] for a in self._analytic], np.int32) \
+            if A else np.zeros(0, np.int32)
+        ana_rot = (np.stack([a[1] for a in self._analytic]) if A
+                   else np.zeros((0, 3, 3)))
+        ana_trans = (np.stack([a[2] for a in self._analytic]) if A
+                     else np.zeros((0, 3)))
+        ana_radius = np.array([a[3] for a in self._analytic]) if A else np.zeros(0)
+        ana_height = np.array([a[4] for a in self._analytic]) if A else np.zeros(0)
+        ana_mat = np.array([a[5] for a in self._analytic], np.int32) \
+            if A else np.zeros(0, np.int32)
+
         # ---- lights + alias table (power = area × material power,
         #      reference ``bvh.rs:104-191``) ----
         prim_light = np.full(max(P, 1), -1, np.int32)
@@ -269,6 +344,14 @@ class SceneBuilder:
                 prim_light[T + j] = len(light_prims)
                 light_prims.append(T + j)
                 powers.append(area * mat_power[s[2]])
+        n_ana_lights = 0
+        for j, a in enumerate(self._analytic):
+            if a[6]:  # disk lights only (``disk.rs:131-135``)
+                area = np.pi * a[3] ** 2
+                prim_light[T + S + j] = len(light_prims)
+                light_prims.append(T + S + j)
+                powers.append(area * mat_power[a[5]])
+                n_ana_lights += 1
         L = len(light_prims)
         if L > 0:
             pdf, alias_p, alias_idx = _build_alias(np.asarray(powers, np.float64))
@@ -313,6 +396,9 @@ class SceneBuilder:
             tri_uva=jf(tri["uva"]), tri_uvb=jf(tri["uvb"]), tri_uvc=jf(tri["uvc"]),
             tri_mat=ju(tri_mat),
             sph_center=jf(sph_center), sph_radius=jf(sph_radius), sph_mat=ju(sph_mat),
+            ana_kind=ju(ana_kind), ana_rot=jf(ana_rot), ana_trans=jf(ana_trans),
+            ana_radius=jf(ana_radius), ana_height=jf(ana_height),
+            ana_mat=ju(ana_mat),
             light_prim=ju(np.asarray(light_prims, np.int32)),
             light_pdf=jf(pdf), alias_p=jf(alias_p),
             alias_idx=ju(np.asarray(alias_idx, np.int32)),
@@ -326,7 +412,8 @@ class SceneBuilder:
             tex_kinds=tuple(sorted({r["kind"] for r in self.textures.rows})),
             n_normal_maps=len(self.textures.normal_images),
             bounds=jf(np.stack([lo, hi])),
-            n_tris=T, n_spheres=S, n_lights=L,
+            n_tris=T, n_spheres=S, n_analytic=A, n_ana_lights=n_ana_lights,
+            n_lights=L,
             n_shadow_rays=max(1, int(np.log2(max(L, 1))) if L > 1 else 1),
         )
 
@@ -341,6 +428,21 @@ class SceneBuilder:
         for s in self._spheres:
             lo = np.minimum(lo, s[0] - s[1])
             hi = np.maximum(hi, s[0] + s[1])
+        from lumo_tpu.geometry import analytic
+        for a in self._analytic:
+            kind, rot, trans, r, h = a[0], a[1], a[2], a[3], a[4]
+            if kind == analytic.PLANE:
+                continue  # infinite (``plane.rs:113-118``)
+            # conservative: local AABB corners → world
+            if kind == analytic.DISK:
+                cl = np.array([[-r, -r, 0.0], [r, r, 0.0]])
+            else:
+                cl = np.array([[-r, 0.0, -r], [r, h, r]])
+            corners = np.array([[cl[i, 0], cl[j, 1], cl[k, 2]]
+                                for i in (0, 1) for j in (0, 1) for k in (0, 1)])
+            world = corners @ rot + trans  # rotᵀ rows applied: local→world
+            lo = np.minimum(lo, world.min(axis=0))
+            hi = np.maximum(hi, world.max(axis=0))
         if not np.isfinite(lo).all():
             lo, hi = -np.ones(3), np.ones(3)
         return lo, hi

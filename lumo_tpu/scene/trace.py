@@ -39,6 +39,12 @@ def _all_t(scene: SceneData, o, d, t_min, t_max):
         t_sph = geo.sphere_t(o, d, scene.sph_center[None], scene.sph_radius[None],
                              t_min, t_max)
         parts.append(t_sph)
+    if scene.n_analytic:
+        from lumo_tpu.geometry import analytic
+        t_ana = analytic.analytic_t(o, d, scene.ana_kind, scene.ana_rot,
+                                    scene.ana_trans, scene.ana_radius,
+                                    scene.ana_height, t_min, t_max)
+        parts.append(t_ana)
     if not parts:
         return jnp.full(o.shape[:-1] + (1,), INF, o.dtype)
     return jnp.concatenate(parts, axis=-1)
@@ -67,6 +73,16 @@ def _closest(scene: SceneData, o, d, t_max):
             better = ts < t
             t = jnp.minimum(t, ts)
             prim = jnp.where(better, scene.n_tris + js, prim)
+        if scene.n_analytic:
+            from lumo_tpu.geometry import analytic
+            t_ana = analytic.analytic_t(o, d, scene.ana_kind, scene.ana_rot,
+                                        scene.ana_trans, scene.ana_radius,
+                                        scene.ana_height, 0.0, t_max)
+            ja = jnp.argmin(t_ana, axis=-1).astype(jnp.int32)
+            ta = jnp.take_along_axis(t_ana, ja[..., None], axis=-1)[..., 0]
+            better = ta < t
+            t = jnp.minimum(t, ta)
+            prim = jnp.where(better, scene.n_tris + scene.n_spheres + ja, prim)
         return t, prim
     ts = _all_t(scene, o, d, 0.0, t_max)
     prim = jnp.argmin(ts, axis=-1).astype(jnp.int32)
@@ -111,10 +127,14 @@ def intersect(scene: SceneData, o, d, t_max=None, key=None, rng=None,
     valid = jnp.isfinite(t)
 
     T = scene.n_tris
+    S = scene.n_spheres
     is_tri = prim < T if T else jnp.zeros(N, bool)
+    is_sph = (prim >= T) & (prim < T + S) if S else jnp.zeros(N, bool)
     tidx = jnp.clip(prim, 0, max(T - 1, 0))
-    sidx = jnp.clip(prim - T, 0, max(scene.n_spheres - 1, 0))
+    sidx = jnp.clip(prim - T, 0, max(S - 1, 0))
+    aidx = jnp.clip(prim - T - S, 0, max(scene.n_analytic - 1, 0))
 
+    fams = []  # (mask, detail dict, mat)
     if T:
         from lumo_tpu import ops
         if T <= ops.ONEHOT_MAX_ROWS:
@@ -127,22 +147,27 @@ def intersect(scene: SceneData, o, d, t_max=None, key=None, rng=None,
                     (scene.tri_a, scene.tri_b, scene.tri_c, scene.tri_na,
                      scene.tri_nb, scene.tri_nc, scene.tri_uva,
                      scene.tri_uvb, scene.tri_uvc)]
-        dt = geo.triangle_detail(o, d, *rows)
-        mat_tri = scene.tri_mat[tidx]
-    if scene.n_spheres:
+        fams.append((is_tri, geo.triangle_detail(o, d, *rows),
+                     scene.tri_mat[tidx]))
+    if S:
         from lumo_tpu import ops
         ds = geo.sphere_detail(o, d, t, ops.take_rows(scene.sph_center, sidx),
                                scene.sph_radius[sidx])
-        mat_sph = scene.sph_mat[sidx]
+        fams.append((is_sph, ds, scene.sph_mat[sidx]))
+    if scene.n_analytic:
+        from lumo_tpu.geometry import analytic
+        da = analytic.analytic_detail(
+            o, d, t, scene.ana_kind[aidx], scene.ana_rot[aidx],
+            scene.ana_trans[aidx], scene.ana_radius[aidx],
+            scene.ana_height[aidx])
+        fams.append((jnp.ones(N, bool), da, scene.ana_mat[aidx]))
 
-    if T and scene.n_spheres:
-        pick = lambda a, b: jnp.where(is_tri[..., None] if a.ndim == 2 else is_tri, a, b)
-        det = {k: pick(dt[k], ds[k]) for k in dt}
-        mat = jnp.where(is_tri, mat_tri, mat_sph)
-    elif T:
-        det, mat = dt, mat_tri
-    else:
-        det, mat = ds, mat_sph
+    mask0, det, mat = fams[-1]
+    for mask, dd, mm in reversed(fams[:-1]):
+        pick = lambda a, b: jnp.where(
+            mask[..., None] if a.ndim == 2 else mask, a, b)
+        det = {k: pick(dd[k], det[k]) for k in det}
+        mat = jnp.where(mask, mm, mat)
 
     backface = dot(d, det["ng"]) > 0.0
     # normal mapping: perturb ns in its per-hit ONB
@@ -213,6 +238,12 @@ def occluded(scene: SceneData, o, d, t_max, key=None, rng=None, salt=0):
             t_sph = geo.sphere_t(o, d, scene.sph_center[None],
                                  scene.sph_radius[None], 0.0, t_max[..., None])
             occ = occ | jnp.any(jnp.isfinite(t_sph), axis=-1)
+        if scene.n_analytic:
+            from lumo_tpu.geometry import analytic
+            t_ana = analytic.analytic_t(
+                o, d, scene.ana_kind, scene.ana_rot, scene.ana_trans,
+                scene.ana_radius, scene.ana_height, 0.0, t_max[..., None])
+            occ = occ | jnp.any(jnp.isfinite(t_ana), axis=-1)
         return occ if med_occ is None else occ | med_occ
     ts = _all_t(scene, o, d, 0.0, t_max[..., None])
     occ = jnp.any(jnp.isfinite(ts), axis=-1)
@@ -257,14 +288,19 @@ def sample_light(scene: SceneData, u):
 
 def _light_geom(scene: SceneData, light):
     """Gather the chosen light's primitive data. Returns dict with
-    is_tri, tri (a,b,c), sphere (center, radius), mat."""
+    is_tri/is_sph/is_ana masks, tri (a,b,c), sphere (center, radius),
+    disk (ana_rot, ana_trans, ana_radius), mats."""
     from lumo_tpu import ops
     prim = scene.light_prim[light]
     T = scene.n_tris
+    S = scene.n_spheres
     is_tri = prim < T if T else jnp.zeros(light.shape, bool)
+    is_ana = prim >= T + S if scene.n_ana_lights else jnp.zeros(light.shape, bool)
+    is_sph = ~is_tri & ~is_ana
     tidx = jnp.clip(prim, 0, max(T - 1, 0))
-    sidx = jnp.clip(prim - T, 0, max(scene.n_spheres - 1, 0))
-    out = {"prim": prim, "is_tri": is_tri}
+    sidx = jnp.clip(prim - T, 0, max(S - 1, 0))
+    aidx = jnp.clip(prim - T - S, 0, max(scene.n_analytic - 1, 0))
+    out = {"prim": prim, "is_tri": is_tri, "is_sph": is_sph, "is_ana": is_ana}
     if T:
         tri_tables = (scene.tri_a, scene.tri_b, scene.tri_c, scene.tri_na,
                       scene.tri_nb, scene.tri_nc)
@@ -274,10 +310,26 @@ def _light_geom(scene: SceneData, light):
             vals = [a[tidx] for a in tri_tables]
         out["a"], out["b"], out["c"], out["na"], out["nb"], out["nc"] = vals
         out["mat_tri"] = scene.tri_mat[tidx]
-    if scene.n_spheres:
+    if S:
         out["center"] = ops.take_rows(scene.sph_center, sidx)
         out["radius"] = scene.sph_radius[sidx]
         out["mat_sph"] = scene.sph_mat[sidx]
+    if scene.n_ana_lights:
+        out["ana_rot"] = scene.ana_rot[aidx]
+        out["ana_trans"] = scene.ana_trans[aidx]
+        out["ana_radius"] = scene.ana_radius[aidx]
+        out["mat_ana"] = scene.ana_mat[aidx]
+    return out
+
+
+def _merge_fams(g, vt, vs, va):
+    """Select per-lane family values (None for absent families)."""
+    have = [(m, v) for m, v in
+            (("is_tri", vt), ("is_sph", vs), ("is_ana", va)) if v is not None]
+    out = have[-1][1]
+    for mname, v in reversed(have[:-1]):
+        m = g[mname]
+        out = jnp.where(m[..., None] if v.ndim > m.ndim else m, v, out)
     return out
 
 
@@ -321,26 +373,39 @@ def sample_towards(scene: SceneData, light, xo, u):
         xi_in = g["center"] + sph * g["radius"][..., None]
         xi_s = jnp.where(inside[..., None], xi_in, xi_out)
         wi_sph = normalize(xi_s - xo)
-    if scene.n_tris and scene.n_spheres:
-        wi = jnp.where(g["is_tri"][..., None], wi_tri, wi_sph)
-    elif scene.n_tris:
-        wi = wi_tri
-    else:
-        wi = wi_sph
-    return wi
+    wi_ana = None
+    if scene.n_ana_lights:
+        # disk: default Sampleable::sample_towards — uniform point on
+        # the surface (``object.rs:137-141``, ``disk.rs:140-156``)
+        xi_a = _disk_point(g, u)
+        wi_ana = normalize(xi_a - xo)
+    return _merge_fams(g, wi_tri if scene.n_tris else None,
+                       wi_sph if scene.n_spheres else None, wi_ana)
+
+
+def _disk_point(g, u):
+    """Uniform point on the gathered disk lights (Shirley-Chiu concentric
+    map, reference ``disk.rs:140-156``)."""
+    from lumo_tpu.sampling import maps
+    dsk = maps.square_to_disk(u)
+    local = jnp.stack([dsk[..., 0] * g["ana_radius"],
+                       dsk[..., 1] * g["ana_radius"],
+                       jnp.zeros_like(g["ana_radius"])], axis=-1)
+    return jnp.einsum("nji,nj->ni", g["ana_rot"], local) + g["ana_trans"]
 
 
 def light_area(scene: SceneData, light):
     """Surface area of light `light` (reference ``object.rs:99-100``)."""
     g = _light_geom(scene, light)
+    area_t = area_s = area_a = None
     if scene.n_tris:
         area_t = 0.5 * jnp.linalg.norm(
             jnp.cross(g["b"] - g["a"], g["c"] - g["a"]), axis=-1)
     if scene.n_spheres:
         area_s = 4.0 * PI * g["radius"] ** 2
-    if scene.n_tris and scene.n_spheres:
-        return jnp.where(g["is_tri"], area_t, area_s)
-    return area_t if scene.n_tris else area_s
+    if scene.n_ana_lights:
+        area_a = PI * g["ana_radius"] ** 2
+    return _merge_fams(g, area_t, area_s, area_a)
 
 
 def sample_on(scene: SceneData, light, u):
@@ -373,17 +438,23 @@ def sample_on(scene: SceneData, light, u):
         ng_s = sph
         err_s = gamma_bound(5) * jnp.abs(p_s)
         mat_s = g["mat_sph"]
-    if scene.n_tris and scene.n_spheres:
-        it = g["is_tri"]
-        p = jnp.where(it[..., None], p_t, p_s)
-        ng = jnp.where(it[..., None], ng_t, ng_s)
-        ns = jnp.where(it[..., None], ns_t, ng_s)
-        err = jnp.where(it[..., None], err_t, err_s)
-        mat = jnp.where(it, mat_t, mat_s)
-    elif scene.n_tris:
-        p, ng, ns, err, mat = p_t, ng_t, ns_t, err_t, mat_t
-    else:
-        p, ng, ns, err, mat = p_s, ng_s, ng_s, err_s, mat_s
+    if scene.n_ana_lights:
+        p_a = _disk_point(g, u)
+        ng_a = jnp.einsum("nji,nj->ni", g["ana_rot"],
+                          jnp.zeros_like(p_a).at[..., 2].set(1.0))
+        err_a = gamma_bound(5) * jnp.abs(p_a)
+        mat_a = g["mat_ana"]
+    ht, hs, ha = scene.n_tris, scene.n_spheres, scene.n_ana_lights
+    p = _merge_fams(g, p_t if ht else None, p_s if hs else None,
+                    p_a if ha else None)
+    ng = _merge_fams(g, ng_t if ht else None, ng_s if hs else None,
+                     ng_a if ha else None)
+    ns = _merge_fams(g, ns_t if ht else None, ng_s if hs else None,
+                     ng_a if ha else None)
+    err = _merge_fams(g, err_t if ht else None, err_s if hs else None,
+                      err_a if ha else None)
+    mat = _merge_fams(g, mat_t if ht else None, mat_s if hs else None,
+                      mat_a if ha else None)
     return p, ng, ns, err, mat
 
 
@@ -424,18 +495,30 @@ def light_hit(scene: SceneData, light, o, d):
     if scene.n_spheres:
         t_sph = geo.sphere_t(o, d, g["center"][:, None], g["radius"][:, None], 0.0, INF)[:, 0]
         ds = geo.sphere_detail(o, d, t_sph, g["center"], g["radius"])
-    if scene.n_tris and scene.n_spheres:
-        is_tri = g["is_tri"]
-        t = jnp.where(is_tri, t_tri, t_sph)
-        det = {k: jnp.where(is_tri[..., None] if dt[k].ndim == 2 else is_tri,
-                            dt[k], ds[k]) for k in ("p", "ng", "uv")}
-        mat = jnp.where(is_tri, g["mat_tri"], g["mat_sph"])
-    elif scene.n_tris:
-        t, mat = t_tri, g["mat_tri"]
-        det = dt
-    else:
-        t, mat = t_sph, g["mat_sph"]
-        det = ds
+    if scene.n_ana_lights:
+        from lumo_tpu.geometry import analytic
+        N = o.shape[0]
+        kind = jnp.full((N,), analytic.DISK, jnp.int32)
+        h_a = jnp.zeros_like(g["ana_radius"])
+        # per-lane single disk: plane equation directly (cheaper than the
+        # (N, A) kernel when each lane has exactly one light prim)
+        rel = o - g["ana_trans"]
+        ol = jnp.einsum("nij,nj->ni", g["ana_rot"], rel)
+        dl = jnp.einsum("nij,nj->ni", g["ana_rot"], d)
+        coplanar = jnp.abs(dl[..., 2]) < 1e-12
+        tp = -ol[..., 2] / jnp.where(coplanar, 1.0, dl[..., 2])
+        hp = ol + tp[..., None] * dl
+        in_r = hp[..., 0] ** 2 + hp[..., 1] ** 2 <= g["ana_radius"] ** 2
+        ok_a = ~coplanar & in_r & (tp > 0.0)
+        t_a = jnp.where(ok_a, tp, INF)
+        da = analytic.analytic_detail(o, d, t_a, kind, g["ana_rot"],
+                                      g["ana_trans"], g["ana_radius"], h_a)
+    ht, hs, ha = scene.n_tris, scene.n_spheres, scene.n_ana_lights
+    t = _merge_fams(g, t_tri if ht else None, t_sph if hs else None,
+                    t_a if ha else None)
+    mat = _merge_fams(g, g.get("mat_tri"), g.get("mat_sph"), g.get("mat_ana"))
+    det = {k: _merge_fams(g, dt[k] if ht else None, ds[k] if hs else None,
+                          da[k] if ha else None) for k in ("p", "ng", "uv")}
     valid = jnp.isfinite(t)
     backface = dot(d, det["ng"]) > 0.0
     return {"valid": valid, "t": t, "p": det["p"], "ng": det["ng"],
@@ -467,9 +550,14 @@ def sample_towards_pdf(scene: SceneData, light, o, d, xi, ng):
         cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_max))
         pdf_out = 1.0 / jnp.maximum(2.0 * PI * (1.0 - cos_max), 1e-30)
         pdf_sph = jnp.where(inside, pdf_in, pdf_out)
-    if scene.n_tris and scene.n_spheres:
-        return jnp.where(g["is_tri"], pdf_tri, pdf_sph)
-    return pdf_tri if scene.n_tris else pdf_sph
+    pdf_ana = None
+    if scene.n_ana_lights:
+        # default Sampleable::sample_towards_pdf (``object.rs:149-157``)
+        area_a = PI * g["ana_radius"] ** 2
+        pdf_ana = jnp.where(cos_ok,
+                            dist2 / jnp.maximum(area_a * cos_l, 1e-30), 0.0)
+    return _merge_fams(g, pdf_tri if scene.n_tris else None,
+                       pdf_sph if scene.n_spheres else None, pdf_ana)
 
 
 def transmittance(scene: SceneData, lam, t):
