@@ -65,6 +65,9 @@ class SceneData:
     textures: Any
     # BVH over triangles (dict of arrays) or None (brute force)
     bvh: Any
+    # packed block BVH for the Pallas TPU traversal kernel (dict of
+    # arrays from ``accel.pallas_bvh.pack_blocks``) or None
+    bvh_blk: Any
     # kd-tree over triangles (dict of arrays) or None; when set it is the
     # triangle accelerator (reference Mesh = KdTree, ``kdtree.rs:9``)
     kdtree: Any
@@ -380,10 +383,18 @@ class SceneBuilder:
             }
             mats.append(med_mat)
         bvh_dev = None
+        blk_dev = None
         if bvh is not None:
             bvh_dev = {"lo": jf(bvh.node_lo), "hi": jf(bvh.node_hi),
                        "right": ju(bvh.node_right), "first": ju(bvh.node_first),
                        "count": ju(bvh.node_count), "axis": ju(bvh.node_axis)}
+            from lumo_tpu.accel import pallas_bvh
+            blk = pallas_bvh.pack_blocks(
+                {"lo": bvh.node_lo, "hi": bvh.node_hi,
+                 "right": bvh.node_right, "first": bvh.node_first,
+                 "count": bvh.node_count, "axis": bvh.node_axis},
+                tri["a"], tri["b"], tri["c"])
+            blk_dev = pallas_bvh.to_device(blk)
         kd_dev = None
         if kdt is not None:
             kd_dev = {"split": jf(kdt.split), "axis": ju(kdt.axis),
@@ -407,6 +418,7 @@ class SceneBuilder:
                        for k, v in pack_materials(mats).items()},
             textures=self.textures.pack(dtype),
             bvh=bvh_dev,
+            bvh_blk=blk_dev,
             kdtree=kd_dev,
             medium=medium_dev,
             tex_kinds=tuple(sorted({r["kind"] for r in self.textures.rows})),

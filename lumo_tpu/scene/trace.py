@@ -50,20 +50,53 @@ def _all_t(scene: SceneData, o, d, t_min, t_max):
     return jnp.concatenate(parts, axis=-1)
 
 
+def _on_tpu():
+    """True when the default jit backend is a TPU-class device (the
+    container exposes the chip behind the experimental 'axon' platform)."""
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
 def _closest(scene: SceneData, o, d, t_max):
     """(t, global prim id) closest hit; BVH traversal for triangles when
-    built, dense otherwise; spheres always dense (they are few)."""
+    built, dense otherwise; spheres always dense (they are few).
+
+    The traversal itself is never differentiated (``lax.while_loop`` has
+    no reverse rule; the Pallas kernel is opaque): its inputs are
+    stop-gradded and the triangle hit ``t`` is re-derived differentiably
+    from the returned primitive id, so fwd+bwd works through accelerated
+    scenes."""
     N = o.shape[0]
     if scene.bvh is not None or scene.kdtree is not None:
         from lumo_tpu.accel import traverse
+        if isinstance(t_max, (int, float)):
+            t_max = jnp.full(o.shape[:1], t_max, o.dtype)
+        o_s, d_s = jax.lax.stop_gradient(o), jax.lax.stop_gradient(d)
+        tm_s = jax.lax.stop_gradient(t_max)
         if scene.kdtree is not None:
             t_tri, p_tri = traverse.kd_closest_hit(
-                scene.kdtree, (scene.tri_a, scene.tri_b, scene.tri_c), o, d,
-                t_max=t_max)
+                scene.kdtree, (scene.tri_a, scene.tri_b, scene.tri_c),
+                o_s, d_s, t_max=tm_s)
+        elif scene.bvh_blk is not None and _on_tpu():
+            from lumo_tpu.accel import pallas_bvh
+            t_tri, p_tri = pallas_bvh.closest_hit(
+                scene.bvh_blk, o_s, d_s, t_max=tm_s)
         else:
             t_tri, p_tri = traverse.closest_hit(
-                scene.bvh, (scene.tri_a, scene.tri_b, scene.tri_c), o, d,
-                t_max=t_max)
+                scene.bvh, (scene.tri_a, scene.tri_b, scene.tri_c),
+                o_s, d_s, t_max=tm_s)
+        # differentiable t recompute against the chosen triangle
+        p_safe = jnp.clip(p_tri, 0, max(scene.n_tris - 1, 0))
+        a, b, c = (x[p_safe] for x in
+                   (scene.tri_a, scene.tri_b, scene.tri_c))
+        kz, shear = geo.ray_setup(d)
+        t_re, _, _ = geo.triangle_t(o, kz, shear, a[:, None], b[:, None],
+                                    c[:, None], 0.0, INF)
+        t_re = t_re[:, 0]
+        t_tri = jnp.where(
+            p_tri >= 0,
+            jnp.where(jnp.isfinite(t_re), t_re,
+                      jax.lax.stop_gradient(t_tri)),
+            INF)
         t, prim = t_tri, jnp.where(p_tri < 0, 0, p_tri)
         if scene.n_spheres:
             t_sph = geo.sphere_t(o, d, scene.sph_center[None],
@@ -226,14 +259,21 @@ def occluded(scene: SceneData, o, d, t_max, key=None, rng=None, salt=0):
         med_occ = has_density & (t_med > 0.0) & (t_med < t_max)
     if scene.bvh is not None or scene.kdtree is not None:
         from lumo_tpu.accel import traverse
+        if isinstance(t_max, (int, float)):
+            t_max = jnp.full(o.shape[:1], t_max, o.dtype)
+        o_s, d_s = jax.lax.stop_gradient(o), jax.lax.stop_gradient(d)
+        tm_s = jax.lax.stop_gradient(t_max)
         if scene.kdtree is not None:
             occ = traverse.kd_any_hit(
                 scene.kdtree, (scene.tri_a, scene.tri_b, scene.tri_c),
-                o, d, t_max=t_max)
+                o_s, d_s, t_max=tm_s)
+        elif scene.bvh_blk is not None and _on_tpu():
+            from lumo_tpu.accel import pallas_bvh
+            occ = pallas_bvh.any_hit(scene.bvh_blk, o_s, d_s, t_max=tm_s)
         else:
             occ = traverse.any_hit(
                 scene.bvh, (scene.tri_a, scene.tri_b, scene.tri_c),
-                o, d, t_max=t_max)
+                o_s, d_s, t_max=tm_s)
         if scene.n_spheres:
             t_sph = geo.sphere_t(o, d, scene.sph_center[None],
                                  scene.sph_radius[None], 0.0, t_max[..., None])
