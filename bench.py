@@ -105,6 +105,16 @@ def bench_cornell():
         gnorm = sum(jnp.sum(jnp.abs(g)) for g in grads.values()) / SPP
         return loss / SPP, rays, gnorm
 
+    # forward-only variant: like-for-like vs the CPU anchor, which (like
+    # the reference) has no backward pass at all
+    @jax.jit
+    def render_64spp_fwd(mats, key):
+        def one(carry, i):
+            loss, rays = loss_and_rays(mats, jax.random.fold_in(key, i))
+            return (carry[0] + loss, carry[1] + rays), None
+        (loss, rays), _ = jax.lax.scan(one, (0.0, 0.0), jnp.arange(SPP))
+        return loss / SPP, rays
+
     key = jax.random.PRNGKey(42)
     # warmup / compile
     loss, rays, gnorm = render_64spp(mat_float, key)
@@ -114,7 +124,15 @@ def bench_cornell():
     loss, rays, gnorm = render_64spp(mat_float, jax.random.fold_in(key, 7))
     loss.block_until_ready()
     dt = time.perf_counter() - t0
-    return float(rays) / dt
+    fwd_bwd = float(rays) / dt
+
+    loss_f, rays_f = render_64spp_fwd(mat_float, key)
+    loss_f.block_until_ready()
+    t0 = time.perf_counter()
+    loss_f, rays_f = render_64spp_fwd(mat_float, jax.random.fold_in(key, 7))
+    loss_f.block_until_ready()
+    fwd_only = float(rays_f) / (time.perf_counter() - t0)
+    return fwd_bwd, fwd_only
 
 
 def bench_bvh_scene():
@@ -209,13 +227,19 @@ def _run_sub(name):
 
 
 def main():
-    rays_per_s = bench_cornell()
+    rays_per_s, fwd_only = bench_cornell()
     result = {
         "metric": "cornell_256_64spp_fwd_bwd_rays_per_sec_per_chip",
         "value": round(rays_per_s, 1),
         "unit": "rays/s/chip",
         "vs_baseline": round(rays_per_s / CPU_ANCHOR_RAYS_PER_S, 3),
-        "extra": {"anchor_rays_per_s": CPU_ANCHOR_RAYS_PER_S},
+        "extra": {
+            "anchor_rays_per_s": CPU_ANCHOR_RAYS_PER_S,
+            "fwd_only": {
+                "rays_per_s": round(fwd_only, 1),
+                "vs_baseline": round(fwd_only / CPU_ANCHOR_RAYS_PER_S, 3),
+            },
+        },
     }
     # headline is safe from here on: sub-benches run in subprocesses
     for name in SUBS:

@@ -38,7 +38,9 @@ from lumo_tpu.config import INF
 LBLK = 128      # triangles per leaf block (= one lane row)
 BLK_ROWS = 16   # f32 sublane padding: rows 0-8 = ax..cz, rest unused
 STACK = 64      # same bound as the reference walk (``bvh.rs:324``)
-SUB = 2         # ray sublane rows per packet → R = SUB * 128 rays
+SUB = 8         # ray sublane rows per packet → R = SUB * 128 rays
+                # (8 is the Mosaic sublane tile: block shapes whose
+                # trailing dims aren't (8k, 128) fail TPU lowering)
 MAX_NODES_SMEM = 16384   # node table cap; lblk doubles until under it
 
 _F32 = jnp.float32
@@ -99,9 +101,6 @@ def pack_blocks(bvh, tri_a, tri_b, tri_c, lblk=LBLK):
     node_lo = np.asarray(bvh["lo"], np.float32)
     node_hi = np.asarray(bvh["hi"], np.float32)
     count_t = _subtree_ranges(node_right, node_first, node_count)
-    while (2 * len(count_t[count_t <= lblk]) > 3 * MAX_NODES_SMEM
-           and lblk < 4096):
-        lblk *= 2  # coarse pre-check; exact size enforced after the walk
 
     while True:
         out = {k: [] for k in ("lo_x", "lo_y", "lo_z", "hi_x", "hi_y",
@@ -143,7 +142,11 @@ def pack_blocks(bvh, tri_a, tri_b, tri_c, lblk=LBLK):
                 stack.append((int(node_right[orig]), slot, depth + 1))
                 stack.append((orig + 1, -1, depth + 1))
 
-        if len(out["right"]) <= MAX_NODES_SMEM or lblk >= 4096:
+        # lblk caps at 256: the kernel's leaf test materializes a few
+        # (R, lblk) f32 temporaries and the scoped-VMEM budget is 16MB —
+        # lblk=512 already risks OOM at R=1024.  256-tri blocks with
+        # MAX_NODES_SMEM interior nodes cover ~2M triangles.
+        if len(out["right"]) <= MAX_NODES_SMEM or lblk >= 256:
             break
         lblk *= 2
 
@@ -201,9 +204,9 @@ def _pairwise_tri_t(ox, oy, oz, kz, sx, sy, sz, tri, t_min, t_max):
     from lumo_tpu.config import gamma_bound
 
     def shear_xyz(r0, r1, r2):
-        vx = tri[r0, :][None, :] - ox
-        vy = tri[r1, :][None, :] - oy
-        vz = tri[r2, :][None, :] - oz
+        vx = tri[r0:r0 + 1, :] - ox
+        vy = tri[r1:r1 + 1, :] - oy
+        vz = tri[r2:r2 + 1, :] - oz
         px = jnp.where(kz == 0, vy, jnp.where(kz == 1, vz, vx))
         py = jnp.where(kz == 0, vz, jnp.where(kz == 1, vx, vy))
         pz = jnp.where(kz == 0, vx, jnp.where(kz == 1, vy, vz))
@@ -222,12 +225,13 @@ def _pairwise_tri_t(ox, oy, oz, kz, sx, sy, sz, tri, t_min, t_max):
     det = e0 + e1 + e2
     t_scaled = e0 * az + e1 * bz + e2 * cz
 
-    neg = det < 0.0
-    out_range = jnp.where(
-        neg,
-        (t_scaled > t_min * det) | (t_scaled < t_max * det),
-        (t_scaled < t_min * det) | (t_scaled > t_max * det),
-    )
+    # sign-folded range check (a boolean select lowers to an i1 trunci
+    # Mosaic rejects): t_min*det < t_scaled < t_max*det with both sides
+    # multiplied by sign(det)
+    s = jnp.where(det < 0.0, _F32(-1.0), _F32(1.0))
+    ts = t_scaled * s
+    abs_d = det * s
+    out_range = (ts < t_min * abs_d) | (ts > t_max * abs_d)
     ok = ~miss_sign & (det != 0.0) & ~out_range
     t = jnp.where(ok, t_scaled / jnp.where(det == 0.0, 1.0, det), INF)
 
@@ -247,9 +251,18 @@ def _pairwise_tri_t(ox, oy, oz, kz, sx, sy, sz, tri, t_min, t_max):
 
 def _traverse_kernel(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
                      n_right, n_first, n_count, n_axis, n_blk,
-                     rays, tri_hbm, t_out, prim_out,
+                     rays, rays_t, tri_hbm, t_out, prim_out,
                      blk_buf, stack, sem, *, lblk, any_hit, sub):
-    """One packet: R = sub*128 rays, scalar SMEM stack, leaf DMA."""
+    """One packet: R = sub*128 rays, scalar SMEM stack, leaf DMA.
+
+    Mosaic cannot relayout (sub, 128) <-> (R, 1) vectors, so the packet
+    carries the SAME rays in two layouts: ``rays`` comp-major
+    (8, sub, 128) drives the full-lane slab test; ``rays_t`` (R, 8)
+    yields the (R, 1) lane-slices the dense (R, lblk) leaf test
+    broadcasts against.  The two phases only exchange SCALARS: the
+    any-reduce of the slab mask, and ``t_worst`` = max over rays of the
+    current best t, which replaces per-ray t pruning (the Woop test is
+    exact, so weaker pruning cannot change results)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -265,37 +278,41 @@ def _traverse_kernel(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
 
     ix, iy, iz = inv(dx), inv(dy), inv(dz)
 
-    # Woop per-ray setup (matches geometry.intersect.ray_setup), in
-    # (R, 1) column form for the pairwise leaf test
-    adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
-    kz = jnp.where((adx > ady) & (adx > adz), 0,
-                   jnp.where(ady > adz, 1, 2))
-    dpx = jnp.where(kz == 0, dy, jnp.where(kz == 1, dz, dx))
-    dpy = jnp.where(kz == 0, dz, jnp.where(kz == 1, dx, dy))
-    dpz = jnp.where(kz == 0, dx, jnp.where(kz == 1, dy, dz))
+    # (R, 1) ray columns from the transposed copy
+    rt = rays_t[0]                               # (R, 8)
+    col = lambda c: rt[:, c:c + 1]
+    ox_c, oy_c, oz_c = col(0), col(1), col(2)
+    dx_c, dy_c, dz_c = col(3), col(4), col(5)
+    tmax_c = col(6)
+
+    # Woop per-ray setup (matches geometry.intersect.ray_setup)
+    adx, ady, adz = jnp.abs(dx_c), jnp.abs(dy_c), jnp.abs(dz_c)
+    kz_c = jnp.where((adx > ady) & (adx > adz), 0,
+                     jnp.where(ady > adz, 1, 2))
+    dpx = jnp.where(kz_c == 0, dy_c, jnp.where(kz_c == 1, dz_c, dx_c))
+    dpy = jnp.where(kz_c == 0, dz_c, jnp.where(kz_c == 1, dx_c, dy_c))
+    dpz = jnp.where(kz_c == 0, dx_c, jnp.where(kz_c == 1, dy_c, dz_c))
     inv_z = 1.0 / jnp.where(dpz == 0.0, _F32(1e-30), dpz)
-    col = lambda v: v.reshape(R, 1)
-    sx, sy, sz = col(-dpx * inv_z), col(-dpy * inv_z), col(inv_z)
-    kz_c = col(kz)
-    ox_c, oy_c, oz_c = col(ox), col(oy), col(oz)
+    sx, sy, sz = -dpx * inv_z, -dpy * inv_z, inv_z
 
     # packet-majority ray direction sign per axis (near-child ordering)
     sgn = [jnp.sum(dx) >= 0.0, jnp.sum(dy) >= 0.0, jnp.sum(dz) >= 0.0]
 
-    dead0 = tmax0 <= 0.0                 # ray padding lanes
-    t_out[...] = jnp.where(dead0, _F32(-INF), tmax0)
-    prim_out[...] = jnp.full((sub, 128), -1, _I32)
+    dead8 = tmax0 <= 0.0                 # ray padding lanes, slab layout
+    dead_c = tmax_c <= 0.0               # same lanes, column layout
+    t_out[...] = jnp.where(dead_c, _F32(-INF), tmax_c)
+    prim_out[...] = jnp.full((R, 1), -1, _I32)
     stack[0] = _I32(0)
 
     def cond(carry):
-        sp, ndone = carry
+        sp, ndone, t_worst = carry
         live = sp > 0
         if any_hit:
             live &= ndone < R
         return live
 
     def body(carry):
-        sp, ndone = carry
+        sp, ndone, t_worst = carry
         node = stack[sp - 1]
         t0x, t1x = (lo_x[node] - ox) * ix, (hi_x[node] - ox) * ix
         t0y, t1y = (lo_y[node] - oy) * iy, (hi_y[node] - oy) * iy
@@ -306,9 +323,7 @@ def _traverse_kernel(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
         tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                      jnp.maximum(t0y, t1y)),
                          jnp.maximum(t0z, t1z)) * _F32(1.00000024)
-        want = (tn <= tf) & (tf > t_min) & (tn < t_out[...])
-        if any_hit:
-            want &= prim_out[...] < 0
+        want = (tn <= tf) & (tf > t_min) & (tn < t_worst) & ~dead8
         hit_any = jnp.any(want)
 
         count = n_count[node]
@@ -321,26 +336,25 @@ def _traverse_kernel(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
             dma.start()
             dma.wait()
             tt = _pairwise_tri_t(ox_c, oy_c, oz_c, kz_c, sx, sy, sz,
-                                 blk_buf, t_min,
-                                 t_out[...].reshape(R, 1))
+                                 blk_buf, t_min, t_out[...])
             lane = jax.lax.broadcasted_iota(_I32, (R, lblk), 1)
             tt = jnp.where(lane < count, tt, INF)
-            tb_col = jnp.min(tt, axis=1, keepdims=True)          # (R, 1)
+            tb = jnp.min(tt, axis=1, keepdims=True)              # (R, 1)
             # prim id of the best slot: min id among t-ties (matches the
             # dense argmin tie-break); ids are exact small-int f32 (row 9)
-            id_row = blk_buf[9, :][None, :]
-            pid = jnp.min(jnp.where(tt <= tb_col, id_row, _F32(3e7)),
-                          axis=1)
-            tb = tb_col.reshape(sub, 128)
-            pid = pid.reshape(sub, 128).astype(_I32)
-            better = want & (tb < t_out[...])
+            id_row = blk_buf[9:10, :]                            # (1, lblk)
+            pid = jnp.min(jnp.where(tt <= tb, id_row, _F32(3e7)),
+                          axis=1, keepdims=True).astype(_I32)
+            better = tb < t_out[...]     # dead lanes sit at -INF: never
             t_out[...] = jnp.where(better, tb, t_out[...])
             prim_out[...] = jnp.where(better, pid, prim_out[...])
 
         @pl.when(hit_any & ~is_leaf)
         def _interior():
             axis = n_axis[node]
-            pos = jax.lax.select_n(axis, sgn[0], sgn[1], sgn[2])
+            # (3-arg select_n is unsupported by the Mosaic TPU lowering)
+            pos = jnp.where(axis == 0, sgn[0],
+                            jnp.where(axis == 1, sgn[1], sgn[2]))
             left = node + 1
             right = n_right[node]
             near = jnp.where(pos, left, right)
@@ -350,18 +364,22 @@ def _traverse_kernel(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
 
         sp = jnp.where(hit_any & ~is_leaf, jnp.minimum(sp + 1, STACK),
                        sp - 1)
+        t_worst = jnp.max(t_out[...])
         if any_hit:
             ndone = jnp.sum((prim_out[...] >= 0).astype(_I32)) \
-                + jnp.sum(dead0.astype(_I32))
-        return sp, ndone
+                + jnp.sum(dead_c.astype(_I32))
+        return sp, ndone, t_worst
 
-    jax.lax.while_loop(cond, body, (_I32(1), _I32(0)))
+    jax.lax.while_loop(cond, body, (_I32(1), _I32(0), _F32(INF)))
     # misses (and tmax-padding lanes) report INF
     t_out[...] = jnp.where(prim_out[...] >= 0, t_out[...], INF)
 
 
 def _pad_pack_rays(o, d, t_max, sub):
-    """(N, 3) rays → (8, NSUB, 128) packed array + (N, NP)."""
+    """(N, 3) rays → comp-major (8, NSUB, 128) + transposed (NP, R, 8).
+
+    Both layouts index ray ``r = block*R + row*128 + lane`` identically;
+    padding lanes get d=0 and tmax=0 and the kernel marks them dead."""
     N = o.shape[0]
     R = sub * 128
     NP = -(-N // R)
@@ -369,19 +387,20 @@ def _pad_pack_rays(o, d, t_max, sub):
     comp = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
             t_max, jnp.zeros((N,), _F32)]
     packed = jnp.stack([jnp.pad(c.astype(_F32), (0, pad)) for c in comp])
-    # padding lanes get d=0 and tmax=0: the kernel marks them dead
-    return packed.reshape(8, NP * sub, 128), N, NP
+    packed_t = packed.T.reshape(NP, R, 8)
+    return packed.reshape(8, NP * sub, 128), packed_t, N, NP
 
 
 @functools.partial(jax.jit,
                    static_argnames=("any_hit", "interpret", "sub", "lblk"))
-def _run(scalars, tri_blk, packed, *, any_hit, lblk, interpret=False,
-         sub=SUB):
+def _run(scalars, tri_blk, packed, packed_t, *, any_hit, lblk,
+         interpret=False, sub=SUB):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     nsub = packed.shape[1]
     NP = nsub // sub
+    R = sub * 128
     kern = functools.partial(_traverse_kernel, lblk=lblk,
                              any_hit=any_hit, sub=sub)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -391,17 +410,19 @@ def _run(scalars, tri_blk, packed, *, any_hit, lblk, interpret=False,
         in_specs=[smem_spec] * len(_SCALARS) + [
             pl.BlockSpec((8, sub, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((sub, 128), lambda i: (i, 0),
+            pl.BlockSpec((R, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((sub, 128), lambda i: (i, 0),
+            pl.BlockSpec((R, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nsub, 128), _F32),
-            jax.ShapeDtypeStruct((nsub, 128), _I32),
+            jax.ShapeDtypeStruct((NP * R, 1), _F32),
+            jax.ShapeDtypeStruct((NP * R, 1), _I32),
         ],
         scratch_shapes=[
             pltpu.VMEM((BLK_ROWS, lblk), _F32),
@@ -409,7 +430,7 @@ def _run(scalars, tri_blk, packed, *, any_hit, lblk, interpret=False,
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(*[scalars[k] for k in _SCALARS], packed, tri_blk)
+    )(*[scalars[k] for k in _SCALARS], packed, packed_t, tri_blk)
     return t, prim
 
 
@@ -420,24 +441,28 @@ def _prep(blk, o, d, t_max, interpret, sub):
     if interpret is None:
         # the container exposes the chip behind the 'axon' platform name
         interpret = jax.default_backend() in ("cpu", "gpu")
-    packed, n, NP = _pad_pack_rays(o, d, t_max, sub)
+    packed, packed_t, n, NP = _pad_pack_rays(o, d, t_max, sub)
     scalars = {k: blk[k] for k in _SCALARS}
-    return scalars, packed, n, interpret
+    return scalars, packed, packed_t, n, interpret
 
 
 def closest_hit(blk, o, d, t_min=0.0, t_max=INF, interpret=None, sub=SUB):
     """Drop-in counterpart of ``traverse.closest_hit`` over the packed
     block BVH ``blk`` (device dict from :func:`to_device`).
     Returns (t (N,), prim (N,)), prim = -1 / t = INF on miss."""
-    scalars, packed, n, interpret = _prep(blk, o, d, t_max, interpret, sub)
-    t, prim = _run(scalars, blk["tri_blk"], packed, any_hit=False,
-                   lblk=blk["lblk"], interpret=interpret, sub=sub)
+    scalars, packed, packed_t, n, interpret = _prep(blk, o, d, t_max,
+                                                    interpret, sub)
+    t, prim = _run(scalars, blk["tri_blk"], packed, packed_t,
+                   any_hit=False, lblk=blk["lblk"], interpret=interpret,
+                   sub=sub)
     return t.reshape(-1)[:n], prim.reshape(-1)[:n]
 
 
 def any_hit(blk, o, d, t_min=0.0, t_max=INF, interpret=None, sub=SUB):
     """Occlusion query: True where any triangle lies in (t_min, t_max)."""
-    scalars, packed, n, interpret = _prep(blk, o, d, t_max, interpret, sub)
-    t, prim = _run(scalars, blk["tri_blk"], packed, any_hit=True,
-                   lblk=blk["lblk"], interpret=interpret, sub=sub)
+    scalars, packed, packed_t, n, interpret = _prep(blk, o, d, t_max,
+                                                    interpret, sub)
+    t, prim = _run(scalars, blk["tri_blk"], packed, packed_t,
+                   any_hit=True, lblk=blk["lblk"], interpret=interpret,
+                   sub=sub)
     return (prim.reshape(-1)[:n]) >= 0

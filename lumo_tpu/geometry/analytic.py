@@ -125,29 +125,38 @@ def analytic_detail(o, d, t, kind, rot, trans, radius, height):
     r = jnp.maximum(radius, 1e-30)
     h = jnp.maximum(height, 1e-30)
 
-    # normals in local space
+    # normals in local space.  Unselected-kind lanes must stay FINITE,
+    # not merely masked: SceneData is a differentiable pytree and a
+    # jnp.where over an inf/NaN branch poisons reverse-mode gradients
+    # (the standard double-where guard; ADVICE r2).
+    is_cone_s = kind == CONE
+    is_cyl_s = kind == CYLINDER
     n_planar = jnp.zeros_like(pl).at[..., 2].set(1.0)
     rad_xz = jnp.sqrt(jnp.maximum(x * x + z * z, 1e-30))
-    tan_th = radius / h
+    tan_th = jnp.where(is_cone_s, radius, 0.0) / h
     n_cone = jnp.stack([x, rad_xz * tan_th, z], axis=-1)
     n_cone = n_cone / jnp.maximum(
         jnp.linalg.norm(n_cone, axis=-1, keepdims=True), 1e-30)
     # cylinder: reproject x/z onto the surface (``cylinder.rs:74-82``)
-    rr2 = radius * radius / jnp.maximum(x * x + z * z, 1e-30)
+    rr2 = jnp.where(is_cyl_s, radius * radius, 1.0) \
+        / jnp.maximum(x * x + z * z, jnp.where(is_cyl_s, 1e-30, 1.0))
     cx = x * rr2
     cz = z * rr2
     n_cyl = jnp.stack([cx, jnp.zeros_like(y), cz], axis=-1) / r[..., None]
 
     is_planar = ((kind == PLANE) | (kind == DISK))[..., None]
-    is_cone = (kind == CONE)[..., None]
-    is_cyl = (kind == CYLINDER)[..., None]
+    is_cone = is_cone_s[..., None]
+    is_cyl = is_cyl_s[..., None]
     nl = jnp.where(is_planar, n_planar,
                    jnp.where(is_cone, n_cone, n_cyl))
     pl_out = jnp.where(is_cyl, jnp.stack([cx, y, cz], axis=-1), pl)
 
     # uv (``plane.rs:71-85``, ``disk.rs:85-89``, ``cone.rs:82-85``)
-    u_pl = jnp.mod(x, 1.0)
-    v_pl = jnp.mod(y, 1.0)
+    # plane uv is fract of the ONB projection of the WORLD point
+    # (plane.rs computes onb_u . p_world) — x/y here are relative to the
+    # plane anchor, so add back the anchor's projection (ADVICE r2)
+    u_pl = jnp.mod(x + jnp.einsum("ni,ni->n", rot[:, 0, :], trans), 1.0)
+    v_pl = jnp.mod(y + jnp.einsum("ni,ni->n", rot[:, 1, :], trans), 1.0)
     u_dk = x / r
     v_dk = y / r
     u_rad = (jnp.arctan2(-pl_out[..., 2], pl_out[..., 0]) + PI) / (2.0 * PI)
