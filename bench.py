@@ -199,9 +199,17 @@ def bench_smoke():
     return tpu_smoke.run()
 
 
+def bench_quality():
+    """f64-CPU-reference allclose + FD pixel-grad harness (VERDICT r2
+    task 4; BASELINE quality metric).  Forces the CPU backend itself."""
+    from tools import quality
+    return quality.run(res=64, spp=4)
+
+
 SUBS = {
     "bvh": bench_bvh_scene,
     "smoke": bench_smoke,
+    "quality": bench_quality,
 }
 
 

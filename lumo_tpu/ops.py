@@ -47,11 +47,15 @@ def take_rows_many(tables, idx):
     tables: list of (M,) or (M, C_i) float arrays → list of (N,) / (N, C_i).
     """
     M = tables[0].shape[0]
-    cols = [jnp.asarray(t).reshape(M, -1).astype(jnp.float32)
+    # preserve the widest input dtype: an f32 hard-cast here silently
+    # truncated f64 reference-mode geometry, breaking the error-bound
+    # ray offsets (self-occluded shadow rays)
+    dtype = jnp.result_type(*[jnp.asarray(t).dtype for t in tables])
+    cols = [jnp.asarray(t).reshape(M, -1).astype(dtype)
             for t in tables]
     widths = [c.shape[1] for c in cols]
     packed = jnp.concatenate(cols, axis=1)              # (M, sum C_i)
-    oh = onehot_rows(idx, M)
+    oh = onehot_rows(idx, M, dtype=dtype)
     out = oh @ packed                                    # (N, sum C_i)
     res = []
     off = 0

@@ -131,11 +131,10 @@ class Renderer:
     def _make_work(self, spp_batch, total_spp):
         """Build work(ray_ids, key, sample_base, shard_id) → (film_partial,
         rays): the mesh-agnostic per-ray render function.  ray_ids index
-        the global (spp_batch × n_pix) wavefront; all randomness of the
-        path/direct integrators is a counter hash of (pixel, sample index,
-        seed), so any partition of ray_ids over any mesh produces the
-        bit-identical image (BDPT additionally folds shard_id into its jax
-        key — deterministic per mesh shape)."""
+        the global (spp_batch × n_pix) wavefront; all randomness of every
+        integrator (path/direct/BDPT) is a counter hash of (pixel, sample
+        index, seed), so any partition of ray_ids over any mesh produces
+        the bit-identical image."""
         scene = self.scene
         camera = self.camera
         filt = self._filter
@@ -193,9 +192,8 @@ class Renderer:
                 delta = delta_pix[pix]
 
             if is_bdpt:
-                k_int = jax.random.fold_in(key, shard_id)
                 radiance, lam_out, sr, sc, sm, depth = bdpt.integrate(
-                    scene, camera, o, d, lam, k_int, delta=delta,
+                    scene, camera, o, d, lam, ray_key=ray_key, delta=delta,
                     max_verts=bdpt_depth)
             elif is_direct:
                 radiance, lam_out, depth = direct_light.integrate(

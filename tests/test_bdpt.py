@@ -56,8 +56,11 @@ def test_mis_weights_sum_to_one(scene, camera):
     n = 16384
     o, d, lam = _camera_rays(camera, key, n)
     K = 4   # analyzed joined path length (no deltas in the Cornell box)
+    from lumo_tpu.integrators import path_trace
     cp, lam2 = bdpt._camera_path(scene, camera, o, d, lam,
-                                 jax.random.fold_in(key, 2), 1.0, K + 1)
+                                 path_trace.ray_keys(
+                                     jax.random.fold_in(key, 2), n),
+                                 1.0, K + 1)
     lam = lam2
 
     n_valid = jnp.sum(cp["valid"], axis=1)

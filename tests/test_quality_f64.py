@@ -1,0 +1,32 @@
+"""f64 CPU-reference allclose + FD pixel-gradient harness (VERDICT r2
+task 4; BASELINE quality metric: "pixel-grad max-err vs CPU reference").
+
+Runs ``tools/quality.py`` in a subprocess because x64 is process-global
+(the rest of the suite must stay f32).  The harness renders the same
+Cornell direct-light code in f64 (the reference configuration,
+``lib.rs:55``) and f32 with bit-identical sample streams.
+"""
+import json
+import os
+import subprocess
+import sys
+
+
+def test_f64_reference_allclose_and_fd_grad():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "quality.py"),
+         "24", "2"],
+        capture_output=True, text=True, timeout=1200, cwd=root)
+    assert p.returncode == 0, p.stderr[-2000:]
+    out = json.loads(p.stdout.strip().splitlines()[-1])
+
+    # continuous (stable-ray) error: pure f32 arithmetic accumulation
+    assert out["bin_rel_err_mean"] < 1e-3
+    assert out["bin_rel_err_p999"] < 5e-2
+    # discrete silhouette flips must stay rare (coplanar light/ceiling)
+    assert out["flipped_rays"] <= max(2, out["rays"] // 100)
+    # reverse-mode AD must match finite differences on the f64 estimator
+    assert out["grad_ad_vs_fd_rel_err"] < 1e-6
+    # f32 production gradients vs the f64 reference
+    assert out["grad_f32_vs_ref_rel_err"] < 1e-2
