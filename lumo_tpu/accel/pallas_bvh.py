@@ -35,7 +35,7 @@ import numpy as np
 
 from lumo_tpu.config import INF
 
-LBLK = 128      # triangles per leaf block (= one lane row)
+LBLK = 256      # triangles per leaf block (= one lane row)
 BLK_ROWS = 16   # f32 sublane padding: rows 0-8 = ax..cz, rest unused
 STACK = 64      # same bound as the reference walk (``bvh.rs:324``)
 SUB = 8         # ray sublane rows per packet → R = SUB * 128 rays
@@ -335,19 +335,33 @@ def _traverse_kernel(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
                                         sem)
             dma.start()
             dma.wait()
-            tt = _pairwise_tri_t(ox_c, oy_c, oz_c, kz_c, sx, sy, sz,
-                                 blk_buf, t_min, t_out[...])
-            lane = jax.lax.broadcasted_iota(_I32, (R, lblk), 1)
-            tt = jnp.where(lane < count, tt, INF)
-            tb = jnp.min(tt, axis=1, keepdims=True)              # (R, 1)
-            # prim id of the best slot: min id among t-ties (matches the
-            # dense argmin tie-break); ids are exact small-int f32 (row 9)
+            # row-gated: rays are coherence-sorted, so the lanes wanting
+            # one leaf cluster into few 128-ray rows — test each row only
+            # if some lane in it wants the node (the full (R, lblk) test
+            # was ~95% wasted work).  Slab row r covers column-layout
+            # rays [r*128, (r+1)*128): both layouts index ray
+            # row*128 + lane.
+            lane = jax.lax.broadcasted_iota(_I32, (128, lblk), 1)
             id_row = blk_buf[9:10, :]                            # (1, lblk)
-            pid = jnp.min(jnp.where(tt <= tb, id_row, _F32(3e7)),
-                          axis=1, keepdims=True).astype(_I32)
-            better = tb < t_out[...]     # dead lanes sit at -INF: never
-            t_out[...] = jnp.where(better, tb, t_out[...])
-            prim_out[...] = jnp.where(better, pid, prim_out[...])
+            for r in range(sub):
+                rw = jnp.any(want[r])
+
+                @pl.when(rw)
+                def _row(r=r):
+                    sl = slice(r * 128, (r + 1) * 128)
+                    tt = _pairwise_tri_t(
+                        ox_c[sl], oy_c[sl], oz_c[sl], kz_c[sl],
+                        sx[sl], sy[sl], sz[sl], blk_buf, t_min, t_out[sl])
+                    tt = jnp.where(lane < count, tt, INF)
+                    tb = jnp.min(tt, axis=1, keepdims=True)     # (128, 1)
+                    # prim id of the best slot: min id among t-ties
+                    # (matches the dense argmin tie-break); ids are exact
+                    # small-int f32 (row 9)
+                    pid = jnp.min(jnp.where(tt <= tb, id_row, _F32(3e7)),
+                                  axis=1, keepdims=True).astype(_I32)
+                    better = tb < t_out[sl]   # dead lanes at -INF: never
+                    t_out[sl] = jnp.where(better, tb, t_out[sl])
+                    prim_out[sl] = jnp.where(better, pid, prim_out[sl])
 
         @pl.when(hit_any & ~is_leaf)
         def _interior():
@@ -434,6 +448,37 @@ def _run(scalars, tri_blk, packed, packed_t, *, any_hit, lblk,
     return t, prim
 
 
+def _sort_perm(blk, o, d, t_max):
+    """Coherence sort: permutation ordering rays by origin Morton code
+    (root-AABB-normalized, 6 bits/axis) then direction octant.
+
+    A packet shares ONE stack: with incoherent bounce rays every packet
+    visits most of the tree and the kernel collapses to brute force.
+    Sorting clusters rays that want the same subtrees into the same
+    packets (wavefront ray-sorting, Aila/Laine-class), and pushes dead
+    (t_max<=0) lanes into all-dead packets that exit on the root test."""
+    lo = jnp.stack([blk["lo_x"][0], blk["lo_y"][0], blk["lo_z"][0]])
+    hi = jnp.stack([blk["hi_x"][0], blk["hi_y"][0], blk["hi_z"][0]])
+    q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-30), 0.0, 1.0)
+    cell = jnp.minimum((q * 64.0).astype(jnp.uint32), 63)
+
+    def spread3(x):  # ≤10 bits → every 3rd bit (standard Morton spread)
+        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    morton = (spread3(cell[:, 0]) | (spread3(cell[:, 1]) << 1)
+              | (spread3(cell[:, 2]) << 2))
+    octant = ((d[:, 0] >= 0).astype(jnp.uint32)
+              | ((d[:, 1] >= 0).astype(jnp.uint32) << 1)
+              | ((d[:, 2] >= 0).astype(jnp.uint32) << 2))
+    key = (morton << 3) | octant
+    key = jnp.where(t_max > 0.0, key, jnp.uint32(0xFFFFFFFF))
+    return jnp.argsort(key)
+
+
 def _prep(blk, o, d, t_max, interpret, sub):
     N = o.shape[0]
     if isinstance(t_max, (int, float)):
@@ -441,28 +486,33 @@ def _prep(blk, o, d, t_max, interpret, sub):
     if interpret is None:
         # the container exposes the chip behind the 'axon' platform name
         interpret = jax.default_backend() in ("cpu", "gpu")
-    packed, packed_t, n, NP = _pad_pack_rays(o, d, t_max, sub)
+    perm = _sort_perm(blk, o, d, t_max)
+    packed, packed_t, n, NP = _pad_pack_rays(o[perm], d[perm], t_max[perm],
+                                             sub)
     scalars = {k: blk[k] for k in _SCALARS}
-    return scalars, packed, packed_t, n, interpret
+    return scalars, packed, packed_t, n, perm, interpret
 
 
 def closest_hit(blk, o, d, t_min=0.0, t_max=INF, interpret=None, sub=SUB):
     """Drop-in counterpart of ``traverse.closest_hit`` over the packed
     block BVH ``blk`` (device dict from :func:`to_device`).
     Returns (t (N,), prim (N,)), prim = -1 / t = INF on miss."""
-    scalars, packed, packed_t, n, interpret = _prep(blk, o, d, t_max,
-                                                    interpret, sub)
+    scalars, packed, packed_t, n, perm, interpret = _prep(
+        blk, o, d, t_max, interpret, sub)
     t, prim = _run(scalars, blk["tri_blk"], packed, packed_t,
                    any_hit=False, lblk=blk["lblk"], interpret=interpret,
                    sub=sub)
-    return t.reshape(-1)[:n], prim.reshape(-1)[:n]
+    t_out = jnp.zeros((n,), _F32).at[perm].set(t.reshape(-1)[:n])
+    p_out = jnp.zeros((n,), _I32).at[perm].set(prim.reshape(-1)[:n])
+    return t_out, p_out
 
 
 def any_hit(blk, o, d, t_min=0.0, t_max=INF, interpret=None, sub=SUB):
     """Occlusion query: True where any triangle lies in (t_min, t_max)."""
-    scalars, packed, packed_t, n, interpret = _prep(blk, o, d, t_max,
-                                                    interpret, sub)
+    scalars, packed, packed_t, n, perm, interpret = _prep(
+        blk, o, d, t_max, interpret, sub)
     t, prim = _run(scalars, blk["tri_blk"], packed, packed_t,
                    any_hit=True, lblk=blk["lblk"], interpret=interpret,
                    sub=sub)
-    return (prim.reshape(-1)[:n]) >= 0
+    occ = (prim.reshape(-1)[:n]) >= 0
+    return jnp.zeros((n,), bool).at[perm].set(occ)

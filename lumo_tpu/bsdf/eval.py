@@ -27,6 +27,13 @@ from lumo_tpu.scene.materials import (BLANK, LAMBERTIAN, LIGHT, MF_CONDUCTOR,
 
 PI = jnp.pi
 _TINY = 1e-30
+# Geometric-denominator floors: 1e-30 guards let f32 products underflow
+# to 0 (inf forward in kind-masked lanes) and make division-VJP
+# intermediates overflow — 0-cotangent times inf is NaN, which poisons
+# camera/geometry gradients once XLA fuses the selects.  Lanes clamped
+# here have pdf >= 1e7; their contributions are ~0 either way.
+_EPS_COS = 1e-7
+_EPS_COS2 = 1e-10
 DELTA_EPS = 1e-5      # 1 - cosθ(wh) tolerance for delta pdf checks
 
 
@@ -57,9 +64,10 @@ def gather_params(materials: dict, mat, lam, uv, textures=None, tex_kinds=(),
     k4 = dense.sample_rows(m["k"], mat, lam)
     kind = m["kind"][mat]
     rough = m["roughness"][mat]
-    alpha = jnp.stack([rough, rough], axis=-1)
+    rough_y = m["roughness_y"][mat]
+    alpha = jnp.stack([rough, rough_y], axis=-1)
     # delta classification (reference ``microfacet.rs:79-83``, ``bxdf.rs:57-66``)
-    mf_delta = rough < 1e-3
+    mf_delta = (rough + rough_y) / 2.0 < 1e-3
     eta_lead = eta4[..., 0]
     is_delta = jnp.where(kind == MF_CONDUCTOR, mf_delta,
                jnp.where(kind == MF_DIELECTRIC, mf_delta | (eta_lead == 1.0),
@@ -67,7 +75,8 @@ def gather_params(materials: dict, mat, lam, uv, textures=None, tex_kinds=(),
     out = {
         "kind": kind,
         "alpha": alpha,
-        "rough_mean": rough,
+        "mf_beck": m["mf_beck"][mat],
+        "rough_mean": (rough + rough_y) / 2.0,
         "mf_delta": mf_delta,
         "is_delta": is_delta,
         "is_specular": m["is_specular"][mat],
@@ -135,7 +144,7 @@ def f_pdf(mp, wo_w, wi_w, ng, ns, backface, lam, mode=RADIANCE):
 
     cos_o = onb.cos_theta(wo)
     cos_i = onb.cos_theta(wi)
-    abs_ci = jnp.maximum(jnp.abs(cos_i), _TINY)
+    abs_ci = jnp.maximum(jnp.abs(cos_i), _EPS_COS)
     same_hemi = cos_o * cos_i > 0.0
 
     # ---- lambertian ----
@@ -144,18 +153,19 @@ def f_pdf(mp, wo_w, wi_w, ng, ns, backface, lam, mode=RADIANCE):
 
     # ---- shared microfacet reflection terms ----
     wh_r = normalize(wo + wi, eps=_TINY)
-    d_r = mf.d_ggx(wh_r, mp["alpha"])           # sign-invariant in wh
-    g_r = mf.g_smith(wo, wi, wh_r, mp["alpha"])
+    beck = mp["mf_beck"]
+    d_r = mf.d_dist(wh_r, mp["alpha"], beck)    # sign-invariant in wh
+    g_r = mf.g_smith_dist(wo, wi, wh_r, mp["alpha"], beck)
     cos_wh_dot = dot(wo, wh_r)
     fr4 = mf.fresnel(cos_wh_dot[..., None], mp["eta4"], mp["k4"])
-    denom_r = 4.0 * jnp.maximum(jnp.abs(cos_o), _TINY) * abs_ci
+    denom_r = 4.0 * jnp.maximum(jnp.abs(cos_o), _EPS_COS) * abs_ci
     refl_coeff = (d_r * g_r / denom_r)[..., None] * fr4
 
     # pdf-side: upper-hemisphere half-vector + VNDF
     wh_ru = jnp.where(onb.cos_theta(wh_r)[..., None] < 0.0, -wh_r, wh_r)
     whdo_r = jnp.abs(cos_wh_dot)
-    p_vndf_r = mf.vndf_pdf(wh_ru, wo, mp["alpha"])
-    p_refl_rough = p_vndf_r / jnp.maximum(4.0 * whdo_r, _TINY)
+    p_vndf_r = mf.normal_pdf(wh_ru, wo, mp["alpha"], beck)
+    p_refl_rough = p_vndf_r / jnp.maximum(4.0 * whdo_r, _EPS_COS)
     p_refl_delta = jnp.where(1.0 - onb.cos_theta(wh_ru) < DELTA_EPS, 1.0, 0.0)
 
     # ---- conductor (reference ``bxdf/microfacet.rs:516-530``) ----
@@ -192,12 +202,12 @@ def f_pdf(mp, wo_w, wi_w, ng, ns, backface, lam, mode=RADIANCE):
                            mp["ks"] * fr_t / abs_ci[..., None],
                            mp["ks"] * refl_coeff)
     # transmission branch
-    d_t = mf.d_ggx(wh_tp, mp["alpha"])
-    g_t = mf.g_smith(wo, wi, wh_tp, mp["alpha"])
+    d_t = mf.d_dist(wh_tp, mp["alpha"], beck)
+    g_t = mf.g_smith_dist(wo, wi, wh_tp, mp["alpha"], beck)
     whdo = dot(wh_tp, wo)
     whdi = dot(wh_tp, wi)
-    denom_t = jnp.maximum((eta_ratio * whdi + whdo) ** 2, _TINY)
-    jac = jnp.abs(whdi * whdo / jnp.maximum(jnp.abs(cos_i * cos_o), _TINY))
+    denom_t = jnp.maximum((eta_ratio * whdi + whdo) ** 2, _EPS_COS2)
+    jac = jnp.abs(whdi * whdo / jnp.maximum(jnp.abs(cos_i * cos_o), _EPS_COS))
     f_die_tran_rough = (mp["tf"] * (1.0 - fr_t)
                         * (d_t * g_t * jac / (scale * denom_t))[..., None])
     f_die_tran_delta = mp["tf"] * (1.0 - fr_t) / (scale * abs_ci)[..., None]
@@ -212,13 +222,13 @@ def f_pdf(mp, wo_w, wi_w, ng, ns, backface, lam, mode=RADIANCE):
     pr_die = mf.fresnel(whdo, eta, mp["k4"][..., 0])
     pt_die = 1.0 - pr_die
     wh_is_z = 1.0 - onb.cos_theta(wh_tp) < DELTA_EPS
-    p_vndf_t = mf.vndf_pdf(wh_tp, wo, mp["alpha"])
+    p_vndf_t = mf.normal_pdf(wh_tp, wo, mp["alpha"], beck)
     p_die = jnp.where(
         reflection & die_delta, jnp.where(wh_is_z, pr_die, 0.0),
-        jnp.where(reflection, p_vndf_t / jnp.maximum(4.0 * jnp.abs(whdo), _TINY) * pr_die,
+        jnp.where(reflection, p_vndf_t / jnp.maximum(4.0 * jnp.abs(whdo), _EPS_COS) * pr_die,
         jnp.where(die_delta, jnp.where(wh_is_z, pt_die, 0.0),
                   p_vndf_t * jnp.abs(whdi)
-                  / jnp.maximum((whdi + whdo / eta_ratio) ** 2, _TINY) * pt_die)))
+                  / jnp.maximum((whdi + whdo / eta_ratio) ** 2, _EPS_COS2) * pt_die)))
     p_die = jnp.where(degenerate | backfacing_wh, 0.0, p_die)
 
     # ---- volumetric: σs over the transmittance-sampling pdf, which the
@@ -237,7 +247,7 @@ def f_pdf(mp, wo_w, wi_w, ng, ns, backface, lam, mode=RADIANCE):
     g2 = g * g
     ct_v = dot(normalize(wo_w, eps=_TINY), normalize(wi_w, eps=_TINY))
     den_v = 1.0 + g2 + 2.0 * g * ct_v
-    p_vol = (1.0 - g2) / jnp.maximum(4.0 * PI * den_v * safe_sqrt(den_v), _TINY)
+    p_vol = (1.0 - g2) / jnp.maximum(4.0 * PI * den_v * safe_sqrt(den_v), _EPS_COS)
 
     # ---- reflection-only families reject transmission/backface configs
     #      (reference ``bxdf.rs:78-84``) ----
@@ -283,7 +293,7 @@ def sample(mp, wo_w, ns, backface, lam, u_lobe, u_sq):
     # lambertian / diffuse cosine lobe
     wi_cos = maps.square_to_cos_hemisphere(u_sq)
 
-    wh = mf.sample_vndf(wo, mp["alpha"], u_sq)
+    wh = mf.sample_normal_dist(wo, mp["alpha"], u_sq, mp["mf_beck"])
 
     # conductor
     wi_spec_delta = onb.reflect_z(wo)
@@ -372,7 +382,8 @@ def pdf(mp, wo_w, wi_w, ng, ns, lam):
     wh_r = normalize(wo + wi, eps=_TINY)
     wh_r = jnp.where(onb.cos_theta(wh_r)[..., None] < 0.0, -wh_r, wh_r)
     whdo_r = jnp.abs(dot(wo, wh_r))
-    p_refl_rough = mf.vndf_pdf(wh_r, wo, mp["alpha"]) / jnp.maximum(4.0 * whdo_r, _TINY)
+    p_refl_rough = mf.normal_pdf(wh_r, wo, mp["alpha"], mp["mf_beck"]) \
+        / jnp.maximum(4.0 * whdo_r, _EPS_COS)
     p_refl_delta = jnp.where(1.0 - onb.cos_theta(wh_r) < DELTA_EPS, 1.0, 0.0)
 
     # conductor
@@ -404,13 +415,13 @@ def pdf(mp, wo_w, wi_w, ng, ns, lam):
     pr = mf.fresnel(whdo, jnp.maximum(eta, _TINY), mp["k4"][..., 0])
     pt = 1.0 - pr
     wh_is_z = 1.0 - onb.cos_theta(wh) < DELTA_EPS
-    p_vndf = mf.vndf_pdf(wh, wo, mp["alpha"])
+    p_vndf = mf.normal_pdf(wh, wo, mp["alpha"], mp["mf_beck"])
     p_die = jnp.where(
         reflection & die_delta, jnp.where(wh_is_z, pr, 0.0),
-        jnp.where(reflection, p_vndf / jnp.maximum(4.0 * jnp.abs(whdo), _TINY) * pr,
+        jnp.where(reflection, p_vndf / jnp.maximum(4.0 * jnp.abs(whdo), _EPS_COS) * pr,
         jnp.where(die_delta, jnp.where(wh_is_z, pt, 0.0),
                   p_vndf * jnp.abs(whdi)
-                  / jnp.maximum((whdi + whdo / eta_ratio) ** 2, _TINY) * pt)))
+                  / jnp.maximum((whdi + whdo / eta_ratio) ** 2, _EPS_COS2) * pt)))
     p_die = jnp.where(degenerate | backfacing_wh, 0.0, p_die)
 
     # volumetric: HG phase pdf (reference ``bxdf/volumetric.rs:48-63``)
@@ -418,7 +429,7 @@ def pdf(mp, wo_w, wi_w, ng, ns, lam):
     g2 = g * g
     ct_v = dot(normalize(wo_w, eps=_TINY), normalize(wi_w, eps=_TINY))
     den_v = 1.0 + g2 + 2.0 * g * ct_v
-    p_vol = (1.0 - g2) / jnp.maximum(4.0 * PI * den_v * safe_sqrt(den_v), _TINY)
+    p_vol = (1.0 - g2) / jnp.maximum(4.0 * PI * den_v * safe_sqrt(den_v), _EPS_COS)
 
     refl_ok = reflection
     out = jnp.where(kind == LAMBERTIAN, jnp.where(refl_ok, p_cos, 0.0),

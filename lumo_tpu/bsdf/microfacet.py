@@ -97,6 +97,99 @@ def vndf_pdf(wh, wo, alpha):
 
 
 # ---------------------------------------------------------------------------
+# Beckmann variant (reference ``microfacet.rs:48-49,198-211,341-357,434-445``)
+
+def d_beckmann(wh, alpha):
+    """Anisotropic Beckmann NDF (PBR 8.4.2):
+    exp(-tan²θ(cos²φ/αx² + sin²φ/αy²)) / (π αx αy cos⁴θ).
+    The reference's Beckmann D is the isotropic special case
+    (``microfacet.rs:198-211``)."""
+    t2 = onb.tan2_theta(wh)
+    c4 = onb.cos2_theta(wh) ** 2
+    cp = onb.cos_phi(wh)
+    sp = onb.sin_phi(wh)
+    e = t2 * ((cp / alpha[..., 0]) ** 2 + (sp / alpha[..., 1]) ** 2)
+    d = jnp.exp(-jnp.where(jnp.isfinite(e), e, 0.0)) \
+        / (PI * alpha[..., 0] * alpha[..., 1] * jnp.maximum(c4, _TINY))
+    ok = jnp.isfinite(t2) & (c4 >= 1e-20)
+    return jnp.where(ok, d, 0.0)
+
+
+def _lambda_beckmann(w, alpha):
+    """Smith Λ for Beckmann, PBR rational approximation with
+    a = 1/(α_eff·tanθ), α_eff² = αx²cos²φ + αy²sin²φ.
+
+    DOCUMENTED DEVIATION: the reference computes a = 1/(α·tan²θ)
+    (``microfacet.rs:347``, tan² instead of tan) — that is a transcription
+    slip of PBR eq. 8.21 and under-shadows grazing directions; this
+    implementation uses the correct tanθ."""
+    t2 = onb.tan2_theta(w)
+    abs_tan = safe_sqrt(t2)
+    cp = onb.cos_phi(w)
+    sp = onb.sin_phi(w)
+    a_eff = safe_sqrt((alpha[..., 0] * cp) ** 2 + (alpha[..., 1] * sp) ** 2)
+    a = 1.0 / jnp.maximum(a_eff * abs_tan, _TINY)
+    lam = jnp.where(a >= 1.6, 0.0,
+                    (1.0 - 1.259 * a + 0.396 * a * a)
+                    / jnp.maximum(3.535 * a + 2.181 * a * a, _TINY))
+    return jnp.where(jnp.isfinite(t2) & (abs_tan > 0.0), lam, 0.0)
+
+
+def sample_beckmann(alpha, u):
+    """Sample a Beckmann-distributed normal (full-NDF importance
+    sampling, anisotropic per PBR 8.4.3; reference samples the isotropic
+    case, ``microfacet.rs:434-445``).  The sampled wh has
+    pdf = D(wh)·cosθ_wh."""
+    # quadrant-correct anisotropic phi
+    phi_iso = 2.0 * PI * u[..., 1]
+    phi = jnp.arctan(alpha[..., 1] / alpha[..., 0]
+                     * jnp.tan(phi_iso + 0.5 * PI))
+    phi = phi + jnp.where(u[..., 1] > 0.5, PI, 0.0)
+    cp, sp = jnp.cos(phi), jnp.sin(phi)
+    log_u = jnp.log(jnp.maximum(1.0 - u[..., 0], 1e-30))
+    tan2 = -log_u / jnp.maximum((cp / alpha[..., 0]) ** 2
+                                + (sp / alpha[..., 1]) ** 2, _TINY)
+    cos_t = 1.0 / safe_sqrt(1.0 + tan2)
+    sin_t = safe_sqrt(1.0 - cos_t * cos_t)
+    return jnp.stack([sin_t * cp, sin_t * sp, cos_t], axis=-1)
+
+
+def beckmann_pdf(wh, alpha):
+    """PDF of `sample_beckmann` (D·cosθ, ``microfacet.rs:367-370``)."""
+    return jnp.maximum(d_beckmann(wh, alpha) * onb.cos_theta(wh), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# distribution dispatch: one masked select over the closed {GGX, Beckmann}
+# set (the reference's enum match, ``microfacet.rs:140``)
+
+def d_dist(wh, alpha, beck):
+    return jnp.where(beck, d_beckmann(wh, alpha), d_ggx(wh, alpha))
+
+
+def g_smith_dist(wo, wi, wh, alpha, beck, eps=1e-7):
+    lam_o = jnp.where(beck, _lambda_beckmann(wo, alpha), _lambda_ggx(wo, alpha))
+    lam_i = jnp.where(beck, _lambda_beckmann(wi, alpha), _lambda_ggx(wi, alpha))
+    g = 1.0 / (1.0 + lam_o + lam_i)
+    return jnp.where(_chi_pass(wo, wh, eps), g, 0.0)
+
+
+def normal_pdf(wh, wo, alpha, beck):
+    """PDF of `sample_normal_dist` over half-vectors: VNDF for GGX,
+    D·cosθ for Beckmann (``microfacet.rs:361-380``)."""
+    return jnp.where(beck, beckmann_pdf(wh, alpha), vndf_pdf(wh, wo, alpha))
+
+
+def sample_normal_dist(wo, alpha, u, beck):
+    wh_g = sample_vndf(wo, alpha, u)
+    wh_b = sample_beckmann(alpha, u)
+    # Beckmann samples the full NDF: flip into wo's hemisphere like the
+    # pdf's |cos| convention expects (reference keeps wh upward and
+    # relies on the χ⁺ test)
+    return jnp.where(beck[..., None], wh_b, wh_g)
+
+
+# ---------------------------------------------------------------------------
 # Fresnel
 
 def fr_real(cos_o_signed, eta):

@@ -13,6 +13,7 @@ Primitive ids are global: [0, T) triangles, [T, T+S) spheres.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from lumo_tpu.config import INF, gamma_bound
@@ -204,6 +205,11 @@ def offset_ray_origin(p, err, ng, wi):
     outside = jnp.sum(wi * ng, axis=-1, keepdims=True) >= 0.0
     offset = jnp.where(outside, 1.0, -1.0) * scaled * ng
     xi = p + offset
-    up = jnp.nextafter(xi, jnp.full_like(xi, INF))
-    down = jnp.nextafter(xi, jnp.full_like(xi, -INF))
-    return jnp.where(offset > 0.0, up, jnp.where(offset < 0.0, down, xi))
+    # the nextafter walk is a sub-ULP robustness correction; it has no
+    # derivative rule (and its true derivative is 1), so apply it
+    # straight-through: forward value unchanged, gradient = d(xi)
+    xi_s = jax.lax.stop_gradient(xi)
+    up = jnp.nextafter(xi_s, jnp.full_like(xi_s, INF))
+    down = jnp.nextafter(xi_s, jnp.full_like(xi_s, -INF))
+    walked = jnp.where(offset > 0.0, up, jnp.where(offset < 0.0, down, xi_s))
+    return xi + jax.lax.stop_gradient(walked - xi_s)

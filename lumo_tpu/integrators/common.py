@@ -74,7 +74,13 @@ def _shadow_branch(scene, mp, wo, wi, hit, light, lam, light_sampled, rng,
     # geometry tape (see path_trace.integrate): save the shadow-ray hit +
     # visibility so the backward remat never re-runs the occlusion sweep
     lh = {k: checkpoint_name(v, "geom") for k, v in lh.items()}
-    t_max = (lh["t"] - epsilon()) * (1.0 - 8.0 * jnp.finfo(o.dtype).eps)
+    # occlusion is a discrete visibility decision: detach its t range and
+    # zero it for invalid light hits — a differentiable INF here seeds
+    # NaN tangents (INF * det) in the any-hit sweep when camera/geometry
+    # parameters are differentiated
+    t_max = jax.lax.stop_gradient(
+        (jnp.where(lh["valid"] & hit["valid"], lh["t"], 0.0) - epsilon())
+        * (1.0 - 8.0 * jnp.finfo(o.dtype).eps))
     occ = trace.occluded(scene, o, wi, t_max, rng=rng, salt=salt)
     occ = checkpoint_name(occ, "geom")
     visible = lh["valid"] & ~occ

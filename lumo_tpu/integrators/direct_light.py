@@ -49,7 +49,8 @@ def integrate(scene, o, d, lam, key=None, max_depth=MAX_RECURSION,
 
     def body(s):
         rng = _hash_u32(s["rng"] + jnp.uint32(0x9E3779B9))
-        hit = trace.intersect(scene, s["o"], s["d"], rng=rng, salt=_S_MED)
+        hit = trace.intersect(scene, s["o"], s["d"], rng=rng, salt=_S_MED,
+                               alive=s["alive"])
         alive = s["alive"] & hit["valid"]
         wo = -s["d"]
         lam = s["lam"]

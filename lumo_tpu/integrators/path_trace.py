@@ -77,7 +77,8 @@ def integrate(scene, o, d, lam, key=None, delta=1.0, max_depth=MAX_DEPTH,
 
     def body(s):
         rng = _hash_u32(s["rng"] + jnp.uint32(0x9E3779B9))
-        hit = trace.intersect(scene, s["o"], s["d"], rng=rng, salt=_S_MED)
+        hit = trace.intersect(scene, s["o"], s["d"], rng=rng, salt=_S_MED,
+                               alive=s["alive"])
         # the hit record is the "geometry tape": under the fixed-depth remat
         # policy it is saved, so the backward sweep recomputes only the
         # material-dependent shading math — never the intersection sweeps

@@ -104,9 +104,9 @@ def parse_mtl(text: str, map_ks: bool = True) -> dict:
         elif cmd == "map_Kd":
             cur.map_Kd = " ".join(tok[1:]).replace("\\", "/")
         elif cmd == "map_Ks":
-            # reference: when map_ks=False the ORM texture's mean feeds
-            # roughness/metalness instead (``mtl/task.rs:55-70``) — that
-            # branch is applied by the caller with the decoded image
+            # when the loader runs with map_ks=False this names an ORM
+            # texture; ``scene_from_file`` decodes it and feeds its
+            # channel means into roughness/metalness (``mtl/task.rs:55-70``)
             cur.map_Ks = " ".join(tok[1:]).replace("\\", "/")
         elif cmd == "map_Ke":
             cur.map_Ke = " ".join(tok[1:]).replace("\\", "/")
@@ -234,30 +234,70 @@ def mesh_from_file(source, material: Material, builder: SceneBuilder = None,
 
 def scene_from_file(obj_source, mtl_source=None, builder: SceneBuilder = None,
                     default_material: Material = None,
-                    resolve=None) -> SceneBuilder:
+                    resolve=None, map_ks: bool = True) -> SceneBuilder:
     """Load an .obj with its .mtl library: per-``usemtl`` sub-meshes,
     emissive groups as lights (reference ``obj::load_scene``).
 
     `resolve(path)` returns a file-like for a texture path referenced by
-    the .mtl (e.g. out of a zip) — texture maps load through it
-    (reference decodes them on a 4-worker pool, ``mtl.rs:100-147``)."""
+    the .mtl (e.g. out of a zip) — texture maps load through it.
+    ``map_ks=False`` treats ``map_Ks`` as an ORM texture
+    (occlusion/roughness/metalness): its channel means feed
+    roughness/metalness and Ks becomes white instead of registering a
+    specular texture (reference ``mtl/task.rs:55-70``)."""
     b = builder or SceneBuilder()
     mtls = parse_mtl(_read(mtl_source)) if mtl_source is not None else {}
     textures: dict[str, int] = {}
     normal_maps: dict[str, int] = {}
     if resolve is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
         from lumo_tpu.io import image as image_io
+
+        # decode every referenced image on a 4-worker pool (reference
+        # ``mtl.rs:100-147`` runs MtlTasks on a 4-thread pool)
+        tex_paths, orm_paths, bump_paths = set(), set(), set()
         for cfg in mtls.values():
-            for pth in (cfg.map_Kd, cfg.map_Ks, cfg.map_Ke):
-                if pth and pth not in textures:
-                    src = resolve(pth)
-                    if src is not None:
-                        textures[pth] = b.textures.image(image_io.load_png(src))
-            if cfg.map_Bump and cfg.map_Bump not in normal_maps:
-                src = resolve(cfg.map_Bump)
-                if src is not None:
-                    normal_maps[cfg.map_Bump] = b.textures.normal_map(
-                        image_io.bump_to_normal_map(src))
+            maps = ((cfg.map_Kd, cfg.map_Ks, cfg.map_Ke) if map_ks
+                    else (cfg.map_Kd, cfg.map_Ke))
+            tex_paths.update(p for p in maps if p)
+            if not map_ks and cfg.map_Ks:
+                orm_paths.add(cfg.map_Ks)
+            if cfg.map_Bump:
+                bump_paths.add(cfg.map_Bump)
+
+        def _dec(path, kind):
+            src = resolve(path)
+            if src is None:
+                return path, kind, None
+            if kind == "bump":
+                return path, kind, image_io.bump_to_normal_map(src)
+            return path, kind, image_io.load_png(src)
+
+        jobs = ([(p, "tex") for p in sorted(tex_paths)]
+                + [(p, "orm") for p in sorted(orm_paths)]
+                + [(p, "bump") for p in sorted(bump_paths)])
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            decoded = list(pool.map(lambda a: _dec(*a), jobs))
+        orm_means = {}
+        for path, kind, img in decoded:
+            if img is None:
+                continue
+            if kind == "tex":
+                textures[path] = b.textures.image(img)
+            elif kind == "bump":
+                normal_maps[path] = b.textures.normal_map(img)
+            else:
+                orm_means[path] = np.asarray(img, np.float64).reshape(
+                    -1, img.shape[-1]).mean(axis=0)
+        if not map_ks:
+            for cfg in mtls.values():
+                orm = orm_means.get(cfg.map_Ks)
+                if orm is not None:
+                    # occlusion, roughness, metalness channels
+                    cfg.roughness = float(orm[1])
+                    cfg.k = float(orm[2])
+                    cfg.Ks = (1.0, 1.0, 1.0)
+                    cfg.map_Ks = None
     mat_ids: dict[str, int] = {}
     for name, cfg in mtls.items():
         mat_ids[name] = b.material(cfg.build_material(textures, normal_maps))

@@ -51,6 +51,8 @@ class Material:
     ks: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(4))
     tf: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(4))
     roughness: float = 1.0
+    roughness_y: float = -1.0   # anisotropic αy; -1 → isotropic (= roughness)
+    beckmann: bool = False      # Beckmann NDF instead of GGX (microfacet.rs:48)
     eta: Optional[np.ndarray] = None       # (95,) dense or None → 1.0
     k: Optional[np.ndarray] = None         # (95,) dense or None → 0.0
     # emission
@@ -79,7 +81,7 @@ class Material:
     @staticmethod
     def microfacet(roughness, eta, k, is_transparent, fresnel_enabled,
                    kd, ks, tf, kd_tex=-1, ks_tex=-1, tf_tex=-1,
-                   nm_tex=-1) -> "Material":
+                   nm_tex=-1, roughness_y=None, beckmann=False) -> "Material":
         if is_transparent and np.isscalar(eta):
             # spectral eta presets (reference ``material.rs:37-45``)
             if eta == 1.5:
@@ -90,8 +92,11 @@ class Material:
         k_d = np.full(DENSE_SAMPLES, float(k)) if np.isscalar(k) else np.asarray(k)
         kind = (MF_DIELECTRIC if is_transparent
                 else MF_CONDUCTOR if fresnel_enabled else MF_DIFFUSE)
+        ry = -1.0 if roughness_y is None else max(float(roughness_y), 1e-5)
         return Material(kind=kind, kd=_spec(kd), ks=_spec(ks), tf=_spec(tf),
-                        roughness=max(float(roughness), 1e-5), eta=eta_d, k=k_d,
+                        roughness=max(float(roughness), 1e-5),
+                        roughness_y=ry, beckmann=bool(beckmann),
+                        eta=eta_d, k=k_d,
                         kd_tex=kd_tex, ks_tex=ks_tex, tf_tex=tf_tex,
                         nm_tex=nm_tex)
 
@@ -177,6 +182,10 @@ def pack_materials(mats: list) -> dict:
         "ks": np.stack([m.ks for m in mats]).astype(np.float32),
         "tf": np.stack([m.tf for m in mats]).astype(np.float32),
         "roughness": np.array([m.roughness for m in mats], np.float32),
+        "roughness_y": np.array(
+            [m.roughness if m.roughness_y < 0 else m.roughness_y
+             for m in mats], np.float32),
+        "mf_beck": np.array([m.beckmann for m in mats], bool),
         "eta": np.stack([m.eta if m.eta is not None else ones_eta
                          for m in mats]).astype(np.float32),
         "k": np.stack([m.k if m.k is not None else zeros

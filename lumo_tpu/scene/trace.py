@@ -117,6 +117,8 @@ def _closest(scene: SceneData, o, d, t_max):
             t = jnp.minimum(t, ta)
             prim = jnp.where(better, scene.n_tris + scene.n_spheres + ja, prim)
         return t, prim
+    if not isinstance(t_max, (int, float)) and t_max.ndim == 1:
+        t_max = t_max[..., None]
     ts = _all_t(scene, o, d, 0.0, t_max)
     prim = jnp.argmin(ts, axis=-1).astype(jnp.int32)
     t = jnp.take_along_axis(ts, prim[..., None], axis=-1)[..., 0]
@@ -148,14 +150,21 @@ def _medium_free_flight(scene: SceneData, key, shape, rng=None, salt=0):
 
 
 def intersect(scene: SceneData, o, d, t_max=None, key=None, rng=None,
-              salt=0):
+              salt=0, alive=None):
     """Closest hit for a wavefront. o, d: (N, 3). Returns a hit dict.
     ``key`` (jax PRNG) or ``rng`` (per-ray uint32 counter state) drives
     the medium free-flight sampling (required when the scene has a
-    medium, reference ``scene.rs:118-147``)."""
+    medium, reference ``scene.rs:118-147``).  ``alive``: optional (N,)
+    mask — dead lanes get t_max 0, so the coherence-sorted Pallas
+    traversal clusters them into all-dead packets that exit on the root
+    test instead of re-tracing their frozen rays every bounce."""
     N = o.shape[0]
     if t_max is None:
         t_max = INF
+    if alive is not None:
+        if isinstance(t_max, (int, float)):
+            t_max = jnp.full((N,), t_max, o.dtype)
+        t_max = jnp.where(alive, t_max, 0.0)
     t, prim = _closest(scene, o, d, t_max)
     valid = jnp.isfinite(t)
 
@@ -575,17 +584,22 @@ def sample_towards_pdf(scene: SceneData, light, o, d, xi, ng):
     # edge-on lights: pdf → ∞; zero it so the MIS mask drops the sample
     # (its contribution → 0 anyway)
     cos_ok = cos_l > 1e-7
+    # double-where guards: the masked-out lanes must not compute an
+    # overflowing dist²/1e-30 — its b-gradient is cot·a/b², i.e. 0·inf →
+    # NaN once XLA fuses the select (camera/geometry grads poisoned)
     if scene.n_tris:
         area = 0.5 * jnp.linalg.norm(
             jnp.cross(g["b"] - g["a"], g["c"] - g["a"]), axis=-1)
-        pdf_tri = jnp.where(cos_ok, dist2 / jnp.maximum(area * cos_l, 1e-30), 0.0)
+        den_t = jnp.where(cos_ok, area * cos_l, 1.0)
+        pdf_tri = jnp.where(cos_ok, dist2 / jnp.maximum(den_t, 1e-30), 0.0)
     if scene.n_spheres:
         rel = o - g["center"]
         do2 = jnp.sum(rel * rel, axis=-1)
         r2 = g["radius"] ** 2
         inside = do2 < r2
         area_s = 4.0 * PI * r2
-        pdf_in = jnp.where(cos_ok, dist2 / jnp.maximum(area_s * cos_l, 1e-30), 0.0)
+        den_s = jnp.where(cos_ok, area_s * cos_l, 1.0)
+        pdf_in = jnp.where(cos_ok, dist2 / jnp.maximum(den_s, 1e-30), 0.0)
         sin2_max = r2 / jnp.maximum(do2, 1e-30)
         cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_max))
         pdf_out = 1.0 / jnp.maximum(2.0 * PI * (1.0 - cos_max), 1e-30)
@@ -594,8 +608,9 @@ def sample_towards_pdf(scene: SceneData, light, o, d, xi, ng):
     if scene.n_ana_lights:
         # default Sampleable::sample_towards_pdf (``object.rs:149-157``)
         area_a = PI * g["ana_radius"] ** 2
+        den_a = jnp.where(cos_ok, area_a * cos_l, 1.0)
         pdf_ana = jnp.where(cos_ok,
-                            dist2 / jnp.maximum(area_a * cos_l, 1e-30), 0.0)
+                            dist2 / jnp.maximum(den_a, 1e-30), 0.0)
     return _merge_fams(g, pdf_tri if scene.n_tris else None,
                        pdf_sph if scene.n_spheres else None, pdf_ana)
 

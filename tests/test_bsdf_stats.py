@@ -170,14 +170,21 @@ def _chi2_pass(mat: Material, key) -> bool:
 
 
 def _mfd(kind, roughness, eta):
-    if kind == "diffuse":
+    # kind suffixes: "-beck" = Beckmann NDF, "-aniso" = anisotropic GGX
+    # with alpha_y = 0.35 * alpha_x (microfacet.rs:48-49 variant coverage)
+    beck = kind.endswith("-beck")
+    aniso = kind.endswith("-aniso")
+    base = kind.split("-")[0]
+    kw = dict(beckmann=beck,
+              roughness_y=(roughness * 0.35 if aniso else None))
+    if base == "diffuse":
         return Material.microfacet(roughness, eta, 0.0, False, False,
-                                   (1, 1, 1), (1, 1, 1), (1, 1, 1))
-    if kind == "conductor":
+                                   (1, 1, 1), (1, 1, 1), (1, 1, 1), **kw)
+    if base == "conductor":
         return Material.microfacet(roughness, eta, 0.0, False, True,
-                                   (1, 1, 1), (1, 1, 1), (1, 1, 1))
+                                   (1, 1, 1), (1, 1, 1), (1, 1, 1), **kw)
     return Material.microfacet(roughness, eta, 0.0, True, True,
-                               (1, 1, 1), (1, 1, 1), (1, 1, 1))
+                               (1, 1, 1), (1, 1, 1), (1, 1, 1), **kw)
 
 
 CHI2_CASES = [("lambertian", None, None)] + [
@@ -189,6 +196,12 @@ CHI2_CASES = [("lambertian", None, None)] + [
     ("dielectric", r, eta)
     for r in (0.75, 0.5, 0.25, 0.1)
     for eta in (1.5, 2.5)
+] + [
+    ("conductor-beck", r, 1.5) for r in (0.75, 0.5, 0.25, 0.1)
+] + [
+    ("diffuse-beck", 0.5, 1.5),
+    ("conductor-aniso", 0.5, 1.5),
+    ("conductor-aniso", 0.25, 1.5),
 ]
 
 
@@ -248,6 +261,8 @@ FURNACE_CASES = (
        for r in (0.75, 0.5, 0.25, 0.1, 0.0)
        for eta in (1.5, 2.5)
        for mode in (RADIANCE, IMPORTANCE)]
+    + [("conductor-beck", r, 1.5, RADIANCE) for r in (0.75, 0.25)]
+    + [("conductor-aniso", 0.5, 1.5, RADIANCE)]
 )
 
 

@@ -109,3 +109,49 @@ def test_sphere_instance():
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_orm_map_ks_false_branch():
+    """map_ks=False: map_Ks names an ORM texture whose channel means feed
+    roughness (G) / metalness (B) with Ks forced white — no specular
+    texture is registered (reference ``mtl/task.rs:55-70``)."""
+    from PIL import Image
+
+    mtl = """
+newmtl ormmat
+Kd 0.5 0.5 0.5
+illum 5
+map_Ks orm.png
+"""
+    obj = """
+v 0 0 0
+v 1 0 0
+v 1 1 0
+usemtl ormmat
+f 1 2 3
+"""
+    # constant ORM image: occlusion=1, roughness=128/255, metalness=64/255
+    arr = np.zeros((4, 4, 3), np.uint8)
+    arr[..., 0] = 255
+    arr[..., 1] = 128
+    arr[..., 2] = 64
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+
+    def resolve(path):
+        assert path == "orm.png"
+        return io.BytesIO(buf.getvalue())
+
+    b = obj_io.scene_from_file(io.StringIO(obj), io.StringIO(mtl),
+                               resolve=resolve, map_ks=False)
+    mats = [m for m in b._materials if m.kind == MF_CONDUCTOR]
+    assert len(mats) == 1
+    m = mats[0]
+    from lumo_tpu.io.image import _srgb_to_linear
+    exp = _srgb_to_linear(arr[0, 0][None, None, :])[0, 0]
+    assert abs(m.roughness - exp[1]) < 1e-5
+    assert m.ks_tex == -1                       # no specular texture
+    # metalness fed the conductor's k; Ks forced to white (uplifted)
+    assert np.all(np.asarray(m.k) > 0.0)
+    # no image texture registered at all for the ORM map
+    assert all(r.get("kind") != "image" for r in b.textures.rows)
