@@ -34,6 +34,11 @@ PLANE = 0
 DISK = 1
 CONE = 2
 CYLINDER = 3
+# unit sphere under a general AFFINE frame — the reference's ellipsoid,
+# an ``Instance<Sphere>`` with non-uniform scale (``instance.rs:81-105``:
+# rays are inverse-transformed WITHOUT renormalizing the direction so t
+# stays a world-space parameter)
+SPHERE = 4
 
 PI = np.pi
 
@@ -89,26 +94,50 @@ def analytic_t(o, d, kind, rot, trans, radius, height, t_min, t_max):
     in_disk = px * px + py * py <= r * r
     ok_pl = ~coplanar & ((kindb == PLANE) | in_disk)
 
-    # ---- cone / cylinder quadratic (``cone.rs:37-69``, ``cyl.rs:40-70``) --
+    # ---- cone / cylinder / sphere quadratic (``cone.rs:37-69``,
+    #      ``cyl.rs:40-70``, ``sphere.rs:28-74``) --
+    is_sph = kindb == SPHERE
     tan2 = jnp.where(is_cone, (r / jnp.maximum(h, 1e-30)) ** 2, 0.0)
     oyh = jnp.where(is_cone, oy - h, 0.0)
-    qa = dx * dx + dz * dz - tan2 * dy * dy
-    qb = 2.0 * (dx * ox + dz * oz - tan2 * dy * oyh)
-    qc = ox * ox + oz * oz - tan2 * oyh * oyh - jnp.where(is_cone, 0.0, r * r)
+    # sphere lanes add the y² terms (|ol + t·dl|² = r²); dl need not be
+    # unit length — t stays the world parameter of the untransformed ray
+    sph = is_sph.astype(o.dtype)
+    qa = dx * dx + dz * dz - tan2 * dy * dy + sph * dy * dy
+    qb = 2.0 * (dx * ox + dz * oz - tan2 * dy * oyh + sph * dy * oy)
+    qc = ox * ox + oz * oz - tan2 * oyh * oyh + sph * oy * oy \
+        - jnp.where(is_cone, 0.0, r * r)
     lo, hi, ok_q = _stable_quadratic(qa, qb, qc)
-    # check both roots against the height clamp (``cone.rs:59-69``)
+    # check both roots against the height clamp (``cone.rs:59-69``);
+    # spheres have no clamp
     y_lo = oy + lo * dy
     y_hi = oy + hi * dy
     eps_q = 32.0 * jnp.finfo(o.dtype).eps \
         * jnp.maximum(jnp.abs(jnp.where(ok_q, hi, 1.0)), 1.0)
-    in_lo = (y_lo >= 0.0) & (y_lo <= h) & (lo > t_min + eps_q) & (lo < t_max)
-    in_hi = (y_hi >= 0.0) & (y_hi <= h) & (hi > t_min + eps_q) & (hi < t_max)
+    in_lo = (is_sph | ((y_lo >= 0.0) & (y_lo <= h))) \
+        & (lo > t_min + eps_q) & (lo < t_max)
+    in_hi = (is_sph | ((y_hi >= 0.0) & (y_hi <= h))) \
+        & (hi > t_min + eps_q) & (hi < t_max)
     t_q = jnp.where(ok_q & in_lo, lo, jnp.where(ok_q & in_hi, hi, INF))
 
     eps_pl = 32.0 * jnp.finfo(o.dtype).eps * jnp.maximum(jnp.abs(t_pl), 1.0)
     ok_pl = ok_pl & (t_pl > t_min + eps_pl) & (t_pl < t_max)
     t = jnp.where(is_planar, jnp.where(ok_pl, t_pl, INF), t_q)
     return t
+
+
+def _inv3(m):
+    """Batched closed-form 3×3 inverse (adjugate / det).  m: (N, 3, 3)."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d_, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    co = jnp.stack([
+        jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e], -1),
+        jnp.stack([f * g - d_ * i, a * i - c * g, c * d_ - a * f], -1),
+        jnp.stack([d_ * h - e * g, b * g - a * h, a * e - b * d_], -1),
+    ], -2)
+    det = a * (e * i - f * h) - b * (d_ * i - f * g) + c * (d_ * h - e * g)
+    det = jnp.where(jnp.abs(det) < 1e-30, 1.0, det)
+    return co / det[..., None, None]
 
 
 def analytic_detail(o, d, t, kind, rot, trans, radius, height):
@@ -131,6 +160,7 @@ def analytic_detail(o, d, t, kind, rot, trans, radius, height):
     # (the standard double-where guard; ADVICE r2).
     is_cone_s = kind == CONE
     is_cyl_s = kind == CYLINDER
+    is_sph_s = kind == SPHERE
     n_planar = jnp.zeros_like(pl).at[..., 2].set(1.0)
     rad_xz = jnp.sqrt(jnp.maximum(x * x + z * z, 1e-30))
     tan_th = jnp.where(is_cone_s, radius, 0.0) / h
@@ -143,13 +173,21 @@ def analytic_detail(o, d, t, kind, rot, trans, radius, height):
     cx = x * rr2
     cz = z * rr2
     n_cyl = jnp.stack([cx, jnp.zeros_like(y), cz], axis=-1) / r[..., None]
+    # sphere: reproject onto the local unit-r sphere (``sphere.rs:63-64``)
+    pl_norm = jnp.sqrt(jnp.maximum(jnp.sum(pl * pl, axis=-1), 1e-30))
+    sph_scale = jnp.where(is_sph_s, r / pl_norm, 1.0)
+    p_sph = pl * sph_scale[..., None]
+    n_sph = p_sph / r[..., None]
 
     is_planar = ((kind == PLANE) | (kind == DISK))[..., None]
     is_cone = is_cone_s[..., None]
     is_cyl = is_cyl_s[..., None]
+    is_sph = is_sph_s[..., None]
     nl = jnp.where(is_planar, n_planar,
-                   jnp.where(is_cone, n_cone, n_cyl))
-    pl_out = jnp.where(is_cyl, jnp.stack([cx, y, cz], axis=-1), pl)
+                   jnp.where(is_cone, n_cone,
+                             jnp.where(is_sph, n_sph, n_cyl)))
+    pl_out = jnp.where(is_cyl, jnp.stack([cx, y, cz], axis=-1),
+                       jnp.where(is_sph, p_sph, pl))
 
     # uv (``plane.rs:71-85``, ``disk.rs:85-89``, ``cone.rs:82-85``)
     # plane uv is fract of the ONB projection of the WORLD point
@@ -161,15 +199,23 @@ def analytic_detail(o, d, t, kind, rot, trans, radius, height):
     v_dk = y / r
     u_rad = (jnp.arctan2(-pl_out[..., 2], pl_out[..., 0]) + PI) / (2.0 * PI)
     v_rad = y / h
+    # sphere uv: spherical coords matching ``sphere_detail``
+    v_sph = jnp.arccos(jnp.clip(-nl[..., 1], -1.0, 1.0)) / PI
     u = jnp.where(kind == PLANE, u_pl,
                   jnp.where(kind == DISK, u_dk, u_rad))
     v = jnp.where(kind == PLANE, v_pl,
-                  jnp.where(kind == DISK, v_dk, v_rad))
+                  jnp.where(kind == DISK, v_dk,
+                            jnp.where(is_sph_s, v_sph, v_rad)))
     uv = jnp.stack([u, v], axis=-1)
 
-    # back to world: world = rotᵀ @ local + trans
-    p = jnp.einsum("nji,nj->ni", rot, pl_out) + trans
+    # back to world.  ``rot`` is the world→local map L: points return via
+    # L⁻¹ (== Lᵀ only for the rigid plane/disk/cone/cylinder frames — the
+    # ellipsoid frame is general affine), normals via Lᵀ (the
+    # inverse-transpose of the local→world map), renormalized.
+    p = jnp.einsum("nij,nj->ni", _inv3(rot), pl_out) + trans
     ng = jnp.einsum("nji,nj->ni", rot, nl)
+    ng = ng / jnp.maximum(
+        jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-30)
     err = gamma_bound(7) * (jnp.abs(p) + jnp.abs(trans)
                             + jnp.abs(t[..., None] * d))
     return {"p": p, "ng": ng, "ns": ng, "uv": uv, "err": err}
@@ -186,6 +232,22 @@ def frame_from_normal(n):
     u = np.array([1.0 + s * n[0] * n[0] * a, s * b, -s * n[0]])
     v = np.array([b, s + n[1] * n[1] * a, -n[1]])
     return np.stack([u, v, n])
+
+
+def affine_frame(transform, center=(0, 0, 0), radius=1.0):
+    """Host-side: world→local affine map L and translation for a sphere
+    of ``radius`` at ``center`` under a general affine ``transform`` —
+    i.e. an ellipsoid (reference ``Instance<Sphere>``,
+    ``instance.rs:81-105``).  Local space is the unit sphere."""
+    m = np.eye(4) if transform is None else np.asarray(transform, np.float64)
+    s = np.eye(4)
+    s[:3, :3] *= float(radius)
+    s[:3, 3] = np.asarray(center, np.float64)
+    full = m @ s
+    lin = full[:3, :3]
+    if abs(np.linalg.det(lin)) < 1e-30:
+        raise ValueError("singular ellipsoid transform")
+    return np.linalg.inv(lin), full[:3, 3].copy()
 
 
 def frame_from_transform(transform):

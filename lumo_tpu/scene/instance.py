@@ -143,6 +143,31 @@ class Mesh:
                     else (self.faces if self.uvs is not None else None)),
             transform=self.m)
 
+    def add_instances_to(self, builder: SceneBuilder, transforms,
+                         materials):
+        """Register the mesh ONCE (in its current fluent frame) and
+        instance it under each extra 4×4 transform with a per-instance
+        material override (reference ``Instance``, ``instance.rs:5-15``).
+        Unlike :meth:`add_to`, geometry is NOT duplicated: rays are
+        inverse-transformed at render time."""
+        v = self.vertices @ self.m[:3, :3].T + self.m[:3, 3]
+        normals = self.normals
+        if normals is not None:
+            nm = np.linalg.inv(self.m[:3, :3]).T
+            normals = normals @ nm.T
+            normals = normals / np.maximum(
+                np.linalg.norm(normals, axis=-1, keepdims=True), 1e-30)
+        return builder.add_instanced_triangles(
+            v, self.faces, transforms, materials,
+            normals=normals,
+            vertex_normal_idx=(self.normal_idx
+                               if self.normal_idx is not None
+                               else (self.faces if normals is not None
+                                     else None)),
+            uvs=self.uvs,
+            uv_idx=(self.uv_idx if self.uv_idx is not None
+                    else (self.faces if self.uvs is not None else None)))
+
 
 def sphere_instance(center, radius, t):
     """Rigid+uniform transform of a sphere → (center', radius').

@@ -73,6 +73,13 @@ class SceneData:
     kdtree: Any
     # homogeneous participating medium (dict of arrays) or None
     medium: Any
+    # runtime-instanced mesh groups (tuple of dicts): ONE copy of the
+    # local-space geometry per group (a/b/c/na../uva.., its own bvh/blk)
+    # plus per-instance world→local maps (minv), forward maps (mfwd),
+    # translations and material overrides — the reference's
+    # ``Instance<T>`` (``instance.rs:5-15``): rays are inverse-transformed
+    # at query time, geometry is never duplicated
+    inst: Any
     # world bounds (2, 3)
     bounds: Any
     # static metadata
@@ -81,6 +88,7 @@ class SceneData:
     n_tris: int = dataclasses.field(metadata=dict(static=True))
     n_spheres: int = dataclasses.field(metadata=dict(static=True))
     n_analytic: int = dataclasses.field(metadata=dict(static=True))
+    n_inst_prims: int = dataclasses.field(metadata=dict(static=True))
     n_ana_lights: int = dataclasses.field(metadata=dict(static=True))
     n_lights: int = dataclasses.field(metadata=dict(static=True))
     n_shadow_rays: int = dataclasses.field(metadata=dict(static=True))
@@ -107,6 +115,7 @@ class SceneBuilder:
         self._tri_chunks = []  # list of (geom dict, mat_idx, is_light)
         self._spheres = []     # list of (center, radius, mat_idx, is_light)
         self._analytic = []    # list of (kind, rot, trans, r, h, mat, is_light)
+        self._inst_groups = []  # list of (geom dict, [(4x4 M, mat_idx)])
         self._materials: list[Material] = []
         self.environment: Optional[Material] = None
         self.medium = None
@@ -161,6 +170,50 @@ class SceneBuilder:
         self._tri_chunks.append((geom, mid, is_light))
         return mid
 
+    def add_instanced_triangles(self, vertices, faces, transforms,
+                                mats, normals=None, vertex_normal_idx=None,
+                                uvs=None, uv_idx=None):
+        """Register a mesh ONCE and instance it under each 4×4 affine in
+        ``transforms`` with a per-instance material (override semantics,
+        reference ``instance.rs:5-15``).  Rays are inverse-transformed at
+        query time — geometry is NOT duplicated per instance.  Instanced
+        meshes cannot be lights (no Sampleable path through instances)."""
+        v = np.asarray(vertices, np.float64)
+        f = np.asarray(faces, np.int64)
+        a, b, c = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+        zero3 = np.zeros_like(a)
+        if normals is not None:
+            ni = np.asarray(vertex_normal_idx if vertex_normal_idx
+                            is not None else f, np.int64)
+            n = np.asarray(normals, np.float64)
+            na, nb, nc = n[ni[:, 0]], n[ni[:, 1]], n[ni[:, 2]]
+        else:
+            na = nb = nc = zero3
+        if uvs is not None:
+            ti = np.asarray(uv_idx if uv_idx is not None else f, np.int64)
+            tt = np.asarray(uvs, np.float64)
+            uva, uvb, uvc = tt[ti[:, 0]], tt[ti[:, 1]], tt[ti[:, 2]]
+        else:
+            uva = np.tile([0.0, 0.0], (len(a), 1))
+            uvb = np.tile([1.0, 0.0], (len(a), 1))
+            uvc = np.tile([1.0, 1.0], (len(a), 1))
+        area2 = np.linalg.norm(np.cross(b - a, c - a), axis=-1)
+        keep = area2 > 1e-20
+        geom = {"a": a[keep], "b": b[keep], "c": c[keep],
+                "na": na[keep], "nb": nb[keep], "nc": nc[keep],
+                "uva": uva[keep], "uvb": uvb[keep], "uvc": uvc[keep]}
+        insts = []
+        for m, mt in zip(transforms, mats):
+            mid = mt if isinstance(mt, int) else self.material(mt)
+            if self._materials[mid].kind == LIGHT:
+                raise ValueError("instanced meshes cannot be lights")
+            mm = np.asarray(m, np.float64)
+            if abs(np.linalg.det(mm[:3, :3])) < 1e-30:
+                raise ValueError("singular instance transform")
+            insts.append((mm, mid))
+        self._inst_groups.append((geom, insts))
+        return [mid for _, mid in insts]
+
     def add_rectangle(self, p0, p1, p2, mat: Material | int):
         """Rectangle from three corners (reference ``rectangle.rs:43-69``:
         d = p0 + (p2 - p1)); two triangles with basis uvs."""
@@ -188,7 +241,23 @@ class SceneBuilder:
             faces.append([q[0], q[2], q[3]])
         return self.add_triangles(corners, np.array(faces), mat, transform=transform)
 
-    def add_sphere(self, center, radius, mat: Material | int):
+    def add_sphere(self, center, radius, mat: Material | int,
+                   transform=None):
+        """Sphere; ``transform`` (4×4 affine) instances it à la reference
+        ``Instance<Sphere>``: rigid + uniform scale bakes into
+        (center', radius'), anything else becomes an ELLIPSOID — an
+        analytic unit sphere under the affine frame
+        (``instance.rs:81-105``).  Ellipsoids cannot be lights (no
+        Sampleable cone sampling for them)."""
+        if transform is not None:
+            from lumo_tpu.geometry import analytic
+            from lumo_tpu.scene.instance import sphere_instance
+            try:
+                center, radius = sphere_instance(center, radius, transform)
+            except ValueError:
+                L, trans = analytic.affine_frame(transform, center, radius)
+                return self._add_analytic(analytic.SPHERE, L, trans,
+                                          1.0, 0.0, mat)
         mid = mat if isinstance(mat, int) else self.material(mat)
         is_light = self._materials[mid].kind == LIGHT
         self._spheres.append((np.asarray(center, np.float64), float(radius),
@@ -401,6 +470,44 @@ class SceneBuilder:
                       "right": ju(kdt.right), "first": ju(kdt.first),
                       "count": ju(kdt.count), "prims": ju(kdt.prims),
                       "lo": jf(kdt.root_lo), "hi": jf(kdt.root_hi)}
+
+        # ---- runtime-instanced mesh groups: one geometry copy + local
+        #      BVH per group, per-instance inverse/forward maps ----
+        inst_dev = []
+        n_inst_prims = 0
+        for geom, insts in self._inst_groups:
+            g = dict(geom)
+            g_bvh = None
+            g_blk = None
+            if len(g["a"]) >= BVH_THRESHOLD:
+                from lumo_tpu.accel import build as accel_build
+                from lumo_tpu.accel import pallas_bvh
+                lo_g, hi_g = accel_build.triangle_bounds(
+                    g["a"], g["b"], g["c"])
+                bh = accel_build.build(lo_g, hi_g)
+                g = {k: v[bh.order] for k, v in g.items()}
+                g_bvh = {"lo": jf(bh.node_lo), "hi": jf(bh.node_hi),
+                         "right": ju(bh.node_right), "first": ju(bh.node_first),
+                         "count": ju(bh.node_count), "axis": ju(bh.node_axis)}
+                blk_g = pallas_bvh.pack_blocks(
+                    {"lo": bh.node_lo, "hi": bh.node_hi,
+                     "right": bh.node_right, "first": bh.node_first,
+                     "count": bh.node_count, "axis": bh.node_axis},
+                    g["a"], g["b"], g["c"])
+                g_blk = pallas_bvh.to_device(blk_g)
+            minv = np.stack([np.linalg.inv(m[:3, :3]) for m, _ in insts])
+            mfwd = np.stack([m[:3, :3] for m, _ in insts])
+            tr = np.stack([m[:3, 3] for m, _ in insts])
+            inst_dev.append({
+                "a": jf(g["a"]), "b": jf(g["b"]), "c": jf(g["c"]),
+                "na": jf(g["na"]), "nb": jf(g["nb"]), "nc": jf(g["nc"]),
+                "uva": jf(g["uva"]), "uvb": jf(g["uvb"]),
+                "uvc": jf(g["uvc"]),
+                "bvh": g_bvh, "blk": g_blk,
+                "minv": jf(minv), "mfwd": jf(mfwd), "trans": jf(tr),
+                "mat": ju(np.asarray([mid for _, mid in insts], np.int32)),
+            })
+            n_inst_prims += len(insts) * len(g["a"])
         return SceneData(
             tri_a=jf(tri["a"]), tri_b=jf(tri["b"]), tri_c=jf(tri["c"]),
             tri_na=jf(tri["na"]), tri_nb=jf(tri["nb"]), tri_nc=jf(tri["nc"]),
@@ -421,10 +528,12 @@ class SceneBuilder:
             bvh_blk=blk_dev,
             kdtree=kd_dev,
             medium=medium_dev,
+            inst=tuple(inst_dev),
             tex_kinds=tuple(sorted({r["kind"] for r in self.textures.rows})),
             n_normal_maps=len(self.textures.normal_images),
             bounds=jf(np.stack([lo, hi])),
-            n_tris=T, n_spheres=S, n_analytic=A, n_ana_lights=n_ana_lights,
+            n_tris=T, n_spheres=S, n_analytic=A,
+            n_inst_prims=n_inst_prims, n_ana_lights=n_ana_lights,
             n_lights=L,
             n_shadow_rays=max(1, int(np.log2(max(L, 1))) if L > 1 else 1),
         )
@@ -448,13 +557,32 @@ class SceneBuilder:
             # conservative: local AABB corners → world
             if kind == analytic.DISK:
                 cl = np.array([[-r, -r, 0.0], [r, r, 0.0]])
+            elif kind == analytic.SPHERE:
+                cl = np.array([[-r, -r, -r], [r, r, r]])
             else:
                 cl = np.array([[-r, 0.0, -r], [r, h, r]])
             corners = np.array([[cl[i, 0], cl[j, 1], cl[k, 2]]
                                 for i in (0, 1) for j in (0, 1) for k in (0, 1)])
-            world = corners @ rot + trans  # rotᵀ rows applied: local→world
+            # local→world is rot⁻¹ (== rotᵀ only for the rigid kinds;
+            # the ellipsoid frame is general affine)
+            world = corners @ np.linalg.inv(rot).T + trans
             lo = np.minimum(lo, world.min(axis=0))
             hi = np.maximum(hi, world.max(axis=0))
+        for geom, insts in self._inst_groups:
+            if not len(geom["a"]):
+                continue
+            gl = np.minimum.reduce([geom[k].min(axis=0)
+                                    for k in ("a", "b", "c")])
+            gh = np.maximum.reduce([geom[k].max(axis=0)
+                                    for k in ("a", "b", "c")])
+            corners = np.array([[(gl, gh)[i][0], (gl, gh)[j][1],
+                                 (gl, gh)[k][2]]
+                                for i in (0, 1) for j in (0, 1)
+                                for k in (0, 1)])
+            for m, _ in insts:
+                w = corners @ m[:3, :3].T + m[:3, 3]
+                lo = np.minimum(lo, w.min(axis=0))
+                hi = np.maximum(hi, w.max(axis=0))
         if not np.isfinite(lo).all():
             lo, hi = -np.ones(3), np.ones(3)
         return lo, hi

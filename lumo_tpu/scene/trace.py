@@ -116,12 +116,71 @@ def _closest(scene: SceneData, o, d, t_max):
             better = ta < t
             t = jnp.minimum(t, ta)
             prim = jnp.where(better, scene.n_tris + scene.n_spheres + ja, prim)
+    else:
+        tm2 = t_max
+        if not isinstance(tm2, (int, float)) and tm2.ndim == 1:
+            tm2 = tm2[..., None]
+        ts = _all_t(scene, o, d, 0.0, tm2)
+        prim = jnp.argmin(ts, axis=-1).astype(jnp.int32)
+        t = jnp.take_along_axis(ts, prim[..., None], axis=-1)[..., 0]
+    t, prim = _instanced_closest(scene, o, d, t, prim)
+    return t, prim
+
+
+def _group_tri_closest(grp, o, d, t_max):
+    """Closest hit of local-space rays against ONE instanced group's
+    geometry (its own BVH / Pallas block tree / dense test).  Traversal
+    is opaque to AD (inputs stop-gradded; caller recomputes t)."""
+    from lumo_tpu.accel import traverse
+    o_s, d_s = jax.lax.stop_gradient(o), jax.lax.stop_gradient(d)
+    tm_s = jax.lax.stop_gradient(t_max)
+    if grp["blk"] is not None and _on_tpu():
+        from lumo_tpu.accel import pallas_bvh
+        return pallas_bvh.closest_hit(grp["blk"], o_s, d_s, t_max=tm_s)
+    if grp["bvh"] is not None:
+        return traverse.closest_hit(
+            grp["bvh"], (grp["a"], grp["b"], grp["c"]), o_s, d_s,
+            t_max=tm_s)
+    kz, shear = geo.ray_setup(d_s)
+    t_all, _, _ = geo.triangle_t(o_s, kz, shear, grp["a"][None],
+                                 grp["b"][None], grp["c"][None],
+                                 0.0, tm_s[..., None])
+    p = jnp.argmin(t_all, axis=-1).astype(jnp.int32)
+    t = jnp.take_along_axis(t_all, p[..., None], axis=-1)[..., 0]
+    return t, jnp.where(jnp.isfinite(t), p, -1)
+
+
+def _instanced_closest(scene: SceneData, o, d, t, prim):
+    """Fold the runtime-instanced groups into (t, prim): rays are
+    inverse-transformed per instance WITHOUT renormalizing the direction
+    so t stays the world parameter (reference ``instance.rs:81-105``,
+    ``ray.rs:24-31``); the winner's t is re-derived differentiably from
+    its local-space triangle."""
+    if not scene.inst:
         return t, prim
-    if not isinstance(t_max, (int, float)) and t_max.ndim == 1:
-        t_max = t_max[..., None]
-    ts = _all_t(scene, o, d, 0.0, t_max)
-    prim = jnp.argmin(ts, axis=-1).astype(jnp.int32)
-    t = jnp.take_along_axis(ts, prim[..., None], axis=-1)[..., 0]
+    base = scene.n_tris + scene.n_spheres + scene.n_analytic
+    for grp in scene.inst:
+        Tg = grp["a"].shape[0]
+        I = grp["minv"].shape[0]
+        for i in range(I):
+            ol = (o - grp["trans"][i]) @ grp["minv"][i].T
+            dl = d @ grp["minv"][i].T
+            tg, pg = _group_tri_closest(grp, ol, dl,
+                                        jax.lax.stop_gradient(t))
+            # differentiable local-frame t recompute
+            p_safe = jnp.clip(pg, 0, max(Tg - 1, 0))
+            a, b, c = (x[p_safe] for x in (grp["a"], grp["b"], grp["c"]))
+            kz, shear = geo.ray_setup(dl)
+            t_re, _, _ = geo.triangle_t(ol, kz, shear, a[:, None],
+                                        b[:, None], c[:, None], 0.0, INF)
+            t_re = t_re[:, 0]
+            tg = jnp.where(pg >= 0,
+                           jnp.where(jnp.isfinite(t_re), t_re,
+                                     jax.lax.stop_gradient(tg)), INF)
+            better = tg < t
+            t = jnp.where(better, tg, t)
+            prim = jnp.where(better, base + i * Tg + pg, prim)
+        base += I * Tg
     return t, prim
 
 
@@ -167,6 +226,9 @@ def intersect(scene: SceneData, o, d, t_max=None, key=None, rng=None,
         t_max = jnp.where(alive, t_max, 0.0)
     t, prim = _closest(scene, o, d, t_max)
     valid = jnp.isfinite(t)
+    # miss lanes must not feed INF into the family detail math
+    # (p = o + t*d -> inf*0 NaNs poison gradients through the merge)
+    t_det = jnp.where(valid, t, 0.0)
 
     T = scene.n_tris
     S = scene.n_spheres
@@ -193,13 +255,13 @@ def intersect(scene: SceneData, o, d, t_max=None, key=None, rng=None,
                      scene.tri_mat[tidx]))
     if S:
         from lumo_tpu import ops
-        ds = geo.sphere_detail(o, d, t, ops.take_rows(scene.sph_center, sidx),
+        ds = geo.sphere_detail(o, d, t_det, ops.take_rows(scene.sph_center, sidx),
                                scene.sph_radius[sidx])
         fams.append((is_sph, ds, scene.sph_mat[sidx]))
     if scene.n_analytic:
         from lumo_tpu.geometry import analytic
         da = analytic.analytic_detail(
-            o, d, t, scene.ana_kind[aidx], scene.ana_rot[aidx],
+            o, d, t_det, scene.ana_kind[aidx], scene.ana_rot[aidx],
             scene.ana_trans[aidx], scene.ana_radius[aidx],
             scene.ana_height[aidx])
         fams.append((jnp.ones(N, bool), da, scene.ana_mat[aidx]))
@@ -210,6 +272,44 @@ def intersect(scene: SceneData, o, d, t_max=None, key=None, rng=None,
             mask[..., None] if a.ndim == 2 else mask, a, b)
         det = {k: pick(dd[k], det[k]) for k in det}
         mat = jnp.where(mask, mm, mat)
+
+    # runtime-instanced lanes: shading data from the shared local-space
+    # geometry, mapped through the instance's forward transform
+    # (reference ``instance.rs:81-127``: normal by inverse-transpose)
+    if scene.inst:
+        basep = T + S + scene.n_analytic
+        for grp in scene.inst:
+            Tg = grp["a"].shape[0]
+            I = grp["minv"].shape[0]
+            in_g = (prim >= basep) & (prim < basep + I * Tg)
+            li = jnp.clip(prim - basep, 0, I * Tg - 1)
+            ii = li // Tg
+            ti = li % Tg
+            minv = grp["minv"][ii]                     # (N, 3, 3)
+            mfwd = grp["mfwd"][ii]
+            tr = grp["trans"][ii]
+            ol = jnp.einsum("nij,nj->ni", minv, o - tr)
+            dl = jnp.einsum("nij,nj->ni", minv, d)
+            rows = [x[ti] for x in (grp["a"], grp["b"], grp["c"],
+                                    grp["na"], grp["nb"], grp["nc"],
+                                    grp["uva"], grp["uvb"], grp["uvc"])]
+            dg = geo.triangle_detail(ol, dl, *rows)
+            p_w = jnp.einsum("nij,nj->ni", mfwd, dg["p"]) + tr
+            nrm = lambda v: v / jnp.maximum(
+                jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+            ng_w = nrm(jnp.einsum("nji,nj->ni", minv, dg["ng"]))
+            has_ns = jnp.sum(dg["ns"] * dg["ns"], -1, keepdims=True) > 1e-12
+            ns_w = jnp.where(
+                has_ns, nrm(jnp.einsum("nji,nj->ni", minv, dg["ns"])), ng_w)
+            err_w = geo.gamma_bound(9) * (jnp.abs(p_w) + jnp.abs(tr)
+                                          + jnp.abs(t[..., None] * d))
+            dd = {"p": p_w, "ng": ng_w, "ns": ns_w, "uv": dg["uv"],
+                  "err": err_w}
+            pick = lambda a, b: jnp.where(
+                in_g[..., None] if a.ndim == 2 else in_g, a, b)
+            det = {k: pick(dd[k], det[k]) for k in det}
+            mat = jnp.where(in_g, grp["mat"][ii], mat)
+            basep += I * Tg
 
     backface = dot(d, det["ng"]) > 0.0
     # normal mapping: perturb ns in its per-hit ONB
@@ -225,7 +325,12 @@ def intersect(scene: SceneData, o, d, t_max=None, key=None, rng=None,
         "valid": valid, "t": jnp.where(valid, t, INF), "prim": prim, "mat": mat,
         "p": det["p"], "ng": det["ng"], "ns": det["ns"], "uv": det["uv"],
         "err": det["err"], "backface": backface,
-        "light": scene.prim_light[jnp.clip(prim, 0, scene.prim_light.shape[0] - 1)],
+        # instanced prims (ids beyond the prim_light table) are never
+        # lights — clip-then-mask, not just clip
+        "light": jnp.where(
+            prim < scene.prim_light.shape[0],
+            scene.prim_light[jnp.clip(prim, 0,
+                                      scene.prim_light.shape[0] - 1)], -1),
         "is_medium": jnp.zeros(N, bool),
     }
     if scene.medium is not None:
@@ -293,10 +398,43 @@ def occluded(scene: SceneData, o, d, t_max, key=None, rng=None, salt=0):
                 o, d, scene.ana_kind, scene.ana_rot, scene.ana_trans,
                 scene.ana_radius, scene.ana_height, 0.0, t_max[..., None])
             occ = occ | jnp.any(jnp.isfinite(t_ana), axis=-1)
+        occ = _instanced_occluded(scene, o, d, t_max, occ)
         return occ if med_occ is None else occ | med_occ
+    if isinstance(t_max, (int, float)):
+        t_max = jnp.full(o.shape[:1], t_max, o.dtype)
     ts = _all_t(scene, o, d, 0.0, t_max[..., None])
     occ = jnp.any(jnp.isfinite(ts), axis=-1)
+    occ = _instanced_occluded(scene, o, d, t_max, occ)
     return occ if med_occ is None else occ | med_occ
+
+
+def _instanced_occluded(scene: SceneData, o, d, t_max, occ):
+    """Any-hit against the runtime-instanced groups."""
+    if not scene.inst:
+        return occ
+    from lumo_tpu.accel import traverse
+    o_s, d_s = jax.lax.stop_gradient(o), jax.lax.stop_gradient(d)
+    tm_s = jax.lax.stop_gradient(jnp.where(occ, 0.0, t_max))
+    for grp in scene.inst:
+        I = grp["minv"].shape[0]
+        for i in range(I):
+            ol = (o_s - grp["trans"][i]) @ grp["minv"][i].T
+            dl = d_s @ grp["minv"][i].T
+            if grp["blk"] is not None and _on_tpu():
+                from lumo_tpu.accel import pallas_bvh
+                occ = occ | pallas_bvh.any_hit(grp["blk"], ol, dl,
+                                               t_max=tm_s)
+            elif grp["bvh"] is not None:
+                occ = occ | traverse.any_hit(
+                    grp["bvh"], (grp["a"], grp["b"], grp["c"]), ol, dl,
+                    t_max=tm_s)
+            else:
+                kz, shear = geo.ray_setup(dl)
+                t_all, _, _ = geo.triangle_t(
+                    ol, kz, shear, grp["a"][None], grp["b"][None],
+                    grp["c"][None], 0.0, tm_s[..., None])
+                occ = occ | jnp.any(jnp.isfinite(t_all), axis=-1)
+    return occ
 
 
 # ---------------------------------------------------------------------------

@@ -241,3 +241,100 @@ def test_analytic_t_gradients():
     # so dt/dtx = -1
     g = jax.grad(t_of)(jnp.asarray(0.0))
     np.testing.assert_allclose(float(g), -1.0, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# ellipsoid: reference Instance<Sphere> with non-uniform scale
+# (instance.rs:81-105, :169-199)
+
+def _ellipsoid_transform():
+    from lumo_tpu.scene.instance import rotate_y, scale, translation
+    return translation(0.3, -0.2, 0.1) @ rotate_y(0.7) @ scale(1.5, 0.6, 1.0)
+
+
+def _ellipsoid_scene():
+    m = _ellipsoid_transform()
+    return _scene_with(lambda sb: sb.add_sphere(
+        (0.1, 0.0, -0.1), 0.8, Material.diffuse((0.5, 0.5, 0.5)),
+        transform=m)), m
+
+
+def _ray_ellipsoid_f64(L, trans, o, d):
+    """f64 reference: smallest positive root of |L(o + t d - trans)|²=1."""
+    ol = (o - trans) @ L.T
+    dl = d @ L.T
+    a = np.sum(dl * dl, -1)
+    b = 2 * np.sum(ol * dl, -1)
+    c = np.sum(ol * ol, -1) - 1.0
+    disc = b * b - 4 * a * c
+    t = np.full(len(o), np.inf)
+    ok = disc >= 0
+    sq = np.sqrt(np.maximum(disc, 0))
+    lo = (-b - sq) / (2 * a)
+    hi = (-b + sq) / (2 * a)
+    t = np.where(ok & (lo > 1e-5), lo, np.where(ok & (hi > 1e-5), hi, np.inf))
+    return t
+
+
+def test_ellipsoid_hit_matches_f64_reference():
+    (scene, m) = _ellipsoid_scene()
+    assert scene.n_analytic == 1
+    from lumo_tpu.geometry.analytic import affine_frame
+    L, trans = affine_frame(m, (0.1, 0.0, -0.1), 0.8)
+    rng = np.random.default_rng(3)
+    n = 4096
+    o = rng.uniform(-4, 4, (n, 3))
+    # aim at the ellipsoid neighborhood so a solid fraction hits
+    d = (trans[None, :] + rng.normal(size=(n, 3)) * 0.8) - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t_ref = _ray_ellipsoid_f64(L, trans, o, d)
+    t, prim = trace._closest(scene, jnp.asarray(o, jnp.float32),
+                             jnp.asarray(d, jnp.float32), 1e30)
+    t = np.asarray(t)
+    hit_e = np.asarray(prim) == scene.n_tris + scene.n_spheres  # ellipsoid id
+    ref_hit = np.isfinite(t_ref)
+    # the far light sphere can occlude a handful of rays; require >95%
+    # agreement and tight t on agreeing rays
+    agree = hit_e == ref_hit
+    assert agree.mean() > 0.95
+    sel = hit_e & ref_hit
+    assert sel.sum() > 200
+    np.testing.assert_allclose(t[sel], t_ref[sel], rtol=2e-4, atol=2e-4)
+
+
+def test_ellipsoid_normal_is_implicit_gradient():
+    (scene, m) = _ellipsoid_scene()
+    from lumo_tpu.geometry.analytic import affine_frame
+    L, trans = affine_frame(m, (0.1, 0.0, -0.1), 0.8)
+    rng = np.random.default_rng(4)
+    n = 512
+    o = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    d = -(o - trans[None, :].astype(np.float32))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    hit = trace.intersect(scene, jnp.asarray(o), jnp.asarray(d),
+                          rng=jnp.arange(n, dtype=jnp.uint32))
+    sel = (np.asarray(hit["prim"]) == scene.n_tris + scene.n_spheres) \
+        & np.asarray(hit["valid"])
+    assert sel.sum() > 100
+    p = np.asarray(hit["p"])[sel]
+    ng = np.asarray(hit["ng"])[sel]
+    # implicit F(p) = |L(p - trans)|² - 1: ∇F ∝ Lᵀ L (p - trans)
+    grad = (p - trans) @ (L.T @ L).T
+    grad /= np.linalg.norm(grad, axis=-1, keepdims=True)
+    dots = np.abs(np.sum(grad * ng, axis=-1))
+    assert dots.min() > 0.999
+    # on-surface: |L(p-trans)| == 1
+    r = np.linalg.norm((p - trans) @ L.T, axis=-1)
+    np.testing.assert_allclose(r, 1.0, atol=5e-3)
+
+
+def test_uniform_transform_bakes_to_sphere():
+    """Rigid + uniform scale stays on the plain sphere path."""
+    from lumo_tpu.scene.instance import rotate_z, scale, translation
+    m = translation(1.0, 0.5, 0.0) @ rotate_z(0.4) @ scale(2.0, 2.0, 2.0)
+    sb = SceneBuilder()
+    sb.add_sphere((0.2, 0.0, 0.0), 0.5, Material.diffuse((0.5, 0.5, 0.5)),
+                  transform=m)
+    sb.add_sphere((0.0, 50.0, 0.0), 1.0, Material.light((1.0, 1.0, 1.0)))
+    scene = sb.build()
+    assert scene.n_spheres == 2 and scene.n_analytic == 0
