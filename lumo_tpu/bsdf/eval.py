@@ -135,6 +135,17 @@ def _refract(eta, wo, no):
 # GGX NDF, Smith masking, Fresnel); the integrators always need both for a
 # direction, so the fused form halves the BSDF math per shading event.
 
+def _half(v):
+    """Normalized half-vector with a degenerate-input guard: wo+wi can be
+    the zero vector (wi == -wo), where normalize() has INF/NaN partials —
+    substitute +z BEFORE the norm so gradients stay finite (the lanes are
+    rejected downstream by the hemisphere/χ⁺ tests anyway)."""
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    deg = n2 < 1e-12
+    v2 = jnp.where(deg, jnp.zeros_like(v).at[..., 2].set(1.0), v)
+    return v2 / jnp.sqrt(jnp.sum(v2 * v2, axis=-1, keepdims=True))
+
+
 def f_pdf(mp, wo_w, wi_w, ng, ns, backface, lam, mode=RADIANCE):
     """(BSDF value (N, 4), pdf (N,)) for direction pair (wo_w, wi_w)."""
     reflection = dot(ng, wi_w) * dot(ng, wo_w) >= 0.0
@@ -152,7 +163,7 @@ def f_pdf(mp, wo_w, wi_w, ng, ns, backface, lam, mode=RADIANCE):
     p_cos = jnp.where(same_hemi & (cos_i > 0.0), cos_i / PI, 0.0)
 
     # ---- shared microfacet reflection terms ----
-    wh_r = normalize(wo + wi, eps=_TINY)
+    wh_r = _half(wo + wi)
     beck = mp["mf_beck"]
     d_r = mf.d_dist(wh_r, mp["alpha"], beck)    # sign-invariant in wh
     g_r = mf.g_smith_dist(wo, wi, wh_r, mp["alpha"], beck)
@@ -193,7 +204,7 @@ def f_pdf(mp, wo_w, wi_w, ng, ns, backface, lam, mode=RADIANCE):
     eta_one = mp["eta4"][..., 0] == 1.0
     die_delta = eta_one | mp["mf_delta"]
     wh_t = jnp.where(die_delta[..., None], z_axis,
-                     normalize(wi * eta_ratio[..., None] + wo, eps=_TINY))
+                     _half(wi * eta_ratio[..., None] + wo))
     fr_t = mf.fresnel(dot(wo, wh_t)[..., None], mp["eta4"], mp["k4"])
     wh_tp = jnp.where(onb.cos_theta(wh_t)[..., None] < 0.0, -wh_t, wh_t)
     scale = jnp.where(mode == RADIANCE, eta_ratio ** 2, 1.0)
@@ -379,7 +390,7 @@ def pdf(mp, wo_w, wi_w, ng, ns, lam):
     p_cos = jnp.where(same_hemi & (cos_i > 0.0), cos_i / PI, 0.0)
 
     # reflection half-vector pdf
-    wh_r = normalize(wo + wi, eps=_TINY)
+    wh_r = _half(wo + wi)
     wh_r = jnp.where(onb.cos_theta(wh_r)[..., None] < 0.0, -wh_r, wh_r)
     whdo_r = jnp.abs(dot(wo, wh_r))
     p_refl_rough = mf.normal_pdf(wh_r, wo, mp["alpha"], mp["mf_beck"]) \
@@ -406,7 +417,7 @@ def pdf(mp, wo_w, wi_w, ng, ns, lam):
     die_delta = eta_one | mp["mf_delta"]
     z_axis = jnp.zeros_like(wo).at[..., 2].set(1.0)
     wh = jnp.where(eta_one[..., None], z_axis,
-                   normalize(wo + wi * eta_ratio[..., None], eps=_TINY))
+                   _half(wo + wi * eta_ratio[..., None]))
     wh = jnp.where(onb.cos_theta(wh)[..., None] < 0.0, -wh, wh)
     whdo = dot(wo, wh)
     whdi = dot(wi, wh)

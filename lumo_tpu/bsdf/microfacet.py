@@ -19,26 +19,48 @@ _TINY = 1e-30
 
 def d_ggx(wh, alpha):
     """Anisotropic GGX NDF (reference ``microfacet.rs:173-196``).
-    wh: (N, 3) half vectors; alpha: (N, 2) roughness."""
-    t2 = onb.tan2_theta(wh)
-    c4 = onb.cos2_theta(wh) ** 2
-    cp = onb.cos_phi(wh)
-    sp = onb.sin_phi(wh)
+    wh: (N, 3) half vectors; alpha: (N, 2) roughness.
+
+    Written in the algebraically-reduced form
+    e = tan²θ(cos²φ/αx² + sin²φ/αy²) = (x²/αx² + y²/αy²)/z² — no φ trig,
+    no tan²θ intermediate.  The textbook form emits INF/NaN *partials*
+    for in-plane or zero half-vectors; the chain rule then multiplies
+    them by the masked lanes' zero cotangents and 0·INF = NaN poisons
+    roughness/geometry gradients scene-wide."""
+    x, y, z = wh[..., 0], wh[..., 1], wh[..., 2]
+    c2 = z * z
+    ok = c2 > 1e-12
+    c2s = jnp.where(ok, c2, 1.0)
     a2 = alpha[..., 0] * alpha[..., 1]
-    e = t2 * ((cp / alpha[..., 0]) ** 2 + (sp / alpha[..., 1]) ** 2)
-    d = 1.0 / (PI * a2 * jnp.maximum(c4, _TINY) * (1.0 + e) ** 2)
-    ok = jnp.isfinite(t2) & (c4 >= 1e-20)
+    # cap e via double-where BEFORE the division: the raw u/c2s VJP
+    # intermediate (-u/c2s²) and the (1+e)² factor overflow f32 to INF
+    # for grazing half-vectors with tiny alpha, and 0-cotangent times INF
+    # is NaN — the scene-wide roughness-gradient poison
+    u = (x / alpha[..., 0]) ** 2 + (y / alpha[..., 1]) ** 2
+    big = u > 1e9 * c2s
+    e = jnp.where(big, 1e9, u / jnp.where(big, 1.0, c2s))
+    # factored reciprocals, NOT one fused division: the division VJP
+    # computes A/B² and B = a2·c2s²·(1+e)² can be ~1e-34, whose square
+    # underflows f32 to 0 → INF → 0·INF = NaN in masked lanes
+    inv_a = 1.0 / (PI * a2)
+    inv_c = 1.0 / c2s
+    inv_e = 1.0 / (1.0 + e)
+    d = inv_a * inv_c * inv_c * inv_e * inv_e
     return jnp.where(ok, d, 0.0)
 
 
 def _lambda_ggx(w, alpha):
-    """Smith Λ for GGX, exact (reference ``microfacet.rs:324-340``)."""
-    t2 = onb.tan2_theta(w)
-    cp = onb.cos_phi(w)
-    sp = onb.sin_phi(w)
-    a2 = (alpha[..., 0] * cp) ** 2 + (alpha[..., 1] * sp) ** 2
-    lam = (safe_sqrt(1.0 + a2 * t2) - 1.0) / 2.0
-    return jnp.where(jnp.isfinite(t2), lam, 0.0)
+    """Smith Λ for GGX, exact (reference ``microfacet.rs:324-340``);
+    a²tan²θ reduced to ((αx·x)² + (αy·y)²)/z² (see :func:`d_ggx`)."""
+    x, y, z = w[..., 0], w[..., 1], w[..., 2]
+    c2 = z * z
+    ok = c2 > 1e-12
+    c2s = jnp.where(ok, c2, 1.0)
+    u = (alpha[..., 0] * x) ** 2 + (alpha[..., 1] * y) ** 2
+    big = u > 1e12 * c2s
+    a2t2 = jnp.where(big, 1e12, u / jnp.where(big, 1.0, c2s))
+    lam = (safe_sqrt(1.0 + a2t2) - 1.0) / 2.0
+    return jnp.where(ok, lam, 0.0)
 
 
 def _chi_pass(wo, wh, eps):
@@ -104,14 +126,18 @@ def d_beckmann(wh, alpha):
     exp(-tan²θ(cos²φ/αx² + sin²φ/αy²)) / (π αx αy cos⁴θ).
     The reference's Beckmann D is the isotropic special case
     (``microfacet.rs:198-211``)."""
-    t2 = onb.tan2_theta(wh)
-    c4 = onb.cos2_theta(wh) ** 2
-    cp = onb.cos_phi(wh)
-    sp = onb.sin_phi(wh)
-    e = t2 * ((cp / alpha[..., 0]) ** 2 + (sp / alpha[..., 1]) ** 2)
-    d = jnp.exp(-jnp.where(jnp.isfinite(e), e, 0.0)) \
-        / (PI * alpha[..., 0] * alpha[..., 1] * jnp.maximum(c4, _TINY))
-    ok = jnp.isfinite(t2) & (c4 >= 1e-20)
+    x, y, z = wh[..., 0], wh[..., 1], wh[..., 2]
+    c2 = z * z
+    ok = c2 > 1e-12
+    c2s = jnp.where(ok, c2, 1.0)
+    u = (x / alpha[..., 0]) ** 2 + (y / alpha[..., 1]) ** 2
+    big = u > 80.0 * c2s           # exp(-80) == 0 in f32 anyway
+    e = jnp.where(big, 80.0, u / jnp.where(big, 1.0, c2s))
+    # factored reciprocals (see d_ggx): a fused division's VJP squares
+    # the tiny denominator and underflows to 0 → INF → NaN
+    inv_a = 1.0 / (PI * alpha[..., 0] * alpha[..., 1])
+    inv_c = 1.0 / c2s
+    d = jnp.exp(-e) * inv_a * inv_c * inv_c
     return jnp.where(ok, d, 0.0)
 
 
@@ -123,16 +149,27 @@ def _lambda_beckmann(w, alpha):
     (``microfacet.rs:347``, tan² instead of tan) — that is a transcription
     slip of PBR eq. 8.21 and under-shadows grazing directions; this
     implementation uses the correct tanθ."""
-    t2 = onb.tan2_theta(w)
-    abs_tan = safe_sqrt(t2)
-    cp = onb.cos_phi(w)
-    sp = onb.sin_phi(w)
-    a_eff = safe_sqrt((alpha[..., 0] * cp) ** 2 + (alpha[..., 1] * sp) ** 2)
-    a = 1.0 / jnp.maximum(a_eff * abs_tan, _TINY)
-    lam = jnp.where(a >= 1.6, 0.0,
-                    (1.0 - 1.259 * a + 0.396 * a * a)
-                    / jnp.maximum(3.535 * a + 2.181 * a * a, _TINY))
-    return jnp.where(jnp.isfinite(t2) & (abs_tan > 0.0), lam, 0.0)
+    # a_eff·tanθ = sqrt((αx·x)² + (αy·y)²)/|z| — smooth reduced form
+    x, y, z = w[..., 0], w[..., 1], w[..., 2]
+    c2 = z * z
+    okz = c2 > 1e-12
+    c2s = jnp.where(okz, c2, 1.0)
+    u_at = (alpha[..., 0] * x) ** 2 + (alpha[..., 1] * y) ** 2
+    big_at = u_at > 1e12 * c2s
+    at = safe_sqrt(jnp.where(big_at, 1e12,
+                             u_at / jnp.where(big_at, 1.0, c2s)))
+    abs_tan = safe_sqrt(jnp.minimum((x * x + y * y) / c2s, 1e12))
+    a = 1.0 / jnp.maximum(at, _TINY)
+    # double-where: the masked a>=1.6 branch must not evaluate the
+    # rational with a ~ 1e30 (a² overflows f32 → INF/INF = NaN, which
+    # poisons roughness gradients scene-wide since the distribution
+    # dispatch evaluates Beckmann for every lane)
+    big = a >= 1.6
+    a_s = jnp.where(big, 1.0, a)
+    lam = jnp.where(big, 0.0,
+                    (1.0 - 1.259 * a_s + 0.396 * a_s * a_s)
+                    / jnp.maximum(3.535 * a_s + 2.181 * a_s * a_s, _TINY))
+    return jnp.where(okz & (abs_tan > 0.0), lam, 0.0)
 
 
 def sample_beckmann(alpha, u):

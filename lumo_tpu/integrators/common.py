@@ -84,9 +84,13 @@ def _shadow_branch(scene, mp, wo, wi, hit, light, lam, light_sampled, rng,
     occ = trace.occluded(scene, o, wi, t_max, rng=rng, salt=salt)
     occ = checkpoint_name(occ, "geom")
     visible = lh["valid"] & ~occ
-    p_lig = trace.sample_towards_pdf(scene, light, o, wi, lh["p"], lh["ng"])
+    p_lig = checkpoint_name(
+        trace.sample_towards_pdf(scene, light, o, wi, lh["p"], lh["ng"]),
+        "geom")
     f_val, p_sct = bsdf.f_pdf(mp, wo, wi, hit["ng"], hit["ns"],
                               hit["backface"], lam, RADIANCE)
+    f_val = checkpoint_name(f_val, "geom")
+    p_sct = checkpoint_name(p_sct, "geom")
     contrib = mis_weight_and_contrib(scene, mp, wo, wi, hit, lh, lam,
                                      p_lig, p_sct, light_sampled, f_val)
     return jnp.where(visible[..., None], contrib, 0.0)

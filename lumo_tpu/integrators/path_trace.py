@@ -96,6 +96,11 @@ def integrate(scene, o, d, lam, key=None, delta=1.0, max_depth=MAX_DEPTH,
                                                               hit["mat"]))
         mp = bsdf.gather_params(scene.materials, hit["mat"], lam2, hit["uv"],
                         scene.textures, scene.tex_kinds, t=hit["t"])
+        # widen the tape: saving the gathered per-ray material params and
+        # the fused BSDF outputs means the backward sweep recomputes only
+        # cheap glue, not the one-hot gathers + microfacet math (measured
+        # ~25% fwd+bwd win; full no-remat is slower AND NaN-prone)
+        mp = {k: checkpoint_name(v, "geom") for k, v in mp.items()}
         mp2 = mp
 
         u_lobe = _randfloat(rng, _S_LOBE)
@@ -130,6 +135,8 @@ def integrate(scene, o, d, lam, key=None, delta=1.0, max_depth=MAX_DEPTH,
         ro = geo.offset_ray_origin(hit["p"], hit["err"], hit["ng"], wi)
         f_val, p_sct = bsdf.f_pdf(mp2, wo, wi, hit["ng"], hit["ns"],
                                   hit["backface"], lam2, RADIANCE)
+        f_val = checkpoint_name(f_val, "geom")
+        p_sct = checkpoint_name(p_sct, "geom")
         alive = alive & (p_sct > 0.0) & jnp.isfinite(p_sct)
         # sanitize the divisor BEFORE masking: dead lanes otherwise compute
         # f/0 whose (discarded) gradients are NaN through the jnp.where
