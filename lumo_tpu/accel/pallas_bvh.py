@@ -153,6 +153,19 @@ def pack_blocks(bvh, tri_a, tri_b, tri_c, lblk=LBLK):
     # oversized original leaves (shouldn't happen with leaf-4 builders)
     assert max(len(ids) for ids in blocks) <= lblk
     assert len(tri_a) < (1 << 24), "prim ids stored as exact f32"
+    # the lblk doubling loop caps at 256 (VMEM budget), so very large
+    # meshes can exit with an oversized table or a too-deep collapsed
+    # tree; fail loudly rather than letting the kernel silently drop
+    # stack pushes (missed intersections) or fail downstream at compile
+    if len(out["right"]) > MAX_NODES_SMEM:
+        raise ValueError(
+            f"collapsed BVH has {len(out['right'])} nodes > "
+            f"MAX_NODES_SMEM={MAX_NODES_SMEM} at lblk={lblk}; mesh too "
+            f"large for the packet kernel ({len(tri_a)} tris)")
+    if depth_max > STACK:
+        raise ValueError(
+            f"collapsed BVH depth {depth_max} exceeds the kernel stack "
+            f"bound STACK={STACK}")
 
     a = np.asarray(tri_a, np.float32)
     b = np.asarray(tri_b, np.float32)

@@ -21,45 +21,45 @@ def d_ggx(wh, alpha):
     """Anisotropic GGX NDF (reference ``microfacet.rs:173-196``).
     wh: (N, 3) half vectors; alpha: (N, 2) roughness.
 
-    Written in the algebraically-reduced form
-    e = tan²θ(cos²φ/αx² + sin²φ/αy²) = (x²/αx² + y²/αy²)/z² — no φ trig,
-    no tan²θ intermediate.  The textbook form emits INF/NaN *partials*
-    for in-plane or zero half-vectors; the chain rule then multiplies
-    them by the masked lanes' zero cotangents and 0·INF = NaN poisons
-    roughness/geometry gradients scene-wide."""
+    Written in the fully-reduced form
+    D = 1/(π αx αy (cos²θ + x²/αx² + y²/αy²)²) — algebraically equal to
+    the textbook cos⁴θ(1+tan²θ(…))² denominator (multiply through by
+    cos⁴θ) but with NO small intermediate: cos⁴θ·(1+e)² underflows f32
+    and any cap on e (a previous revision capped e at 1e9) inflates D by
+    orders of magnitude for horizon-grazing wh — the round-3 dielectric
+    χ² failure (declared pdf spiked ~300× just below the horizon).  The
+    summed denominator is bounded below by min(1, 1/αmax²) whenever
+    cos²θ is small, so forward AND VJP stay finite without caps."""
     x, y, z = wh[..., 0], wh[..., 1], wh[..., 2]
     c2 = z * z
     ok = c2 > 1e-12
     c2s = jnp.where(ok, c2, 1.0)
-    a2 = alpha[..., 0] * alpha[..., 1]
-    # cap e via double-where BEFORE the division: the raw u/c2s VJP
-    # intermediate (-u/c2s²) and the (1+e)² factor overflow f32 to INF
-    # for grazing half-vectors with tiny alpha, and 0-cotangent times INF
-    # is NaN — the scene-wide roughness-gradient poison
-    u = (x / alpha[..., 0]) ** 2 + (y / alpha[..., 1]) ** 2
-    big = u > 1e9 * c2s
-    e = jnp.where(big, 1e9, u / jnp.where(big, 1.0, c2s))
-    # factored reciprocals, NOT one fused division: the division VJP
-    # computes A/B² and B = a2·c2s²·(1+e)² can be ~1e-34, whose square
-    # underflows f32 to 0 → INF → 0·INF = NaN in masked lanes
-    inv_a = 1.0 / (PI * a2)
-    inv_c = 1.0 / c2s
-    inv_e = 1.0 / (1.0 + e)
-    d = inv_a * inv_c * inv_c * inv_e * inv_e
+    # alpha floor 1e-4: lanes below the 1e-3 delta threshold are
+    # dispatched to the delta branch, but this rough branch still runs
+    # masked — 1/alpha² must not overflow their (discarded) gradients
+    ax = jnp.maximum(alpha[..., 0], 1e-4)
+    ay = jnp.maximum(alpha[..., 1], 1e-4)
+    u = (x / ax) ** 2 + (y / ay) ** 2
+    inv_a = 1.0 / (PI * ax * ay)
+    inv_v = 1.0 / (c2s + u)
+    d = inv_a * inv_v * inv_v
     return jnp.where(ok, d, 0.0)
 
 
 def _lambda_ggx(w, alpha):
-    """Smith Λ for GGX, exact (reference ``microfacet.rs:324-340``);
-    a²tan²θ reduced to ((αx·x)² + (αy·y)²)/z² (see :func:`d_ggx`)."""
+    """Smith Λ for GGX, exact (reference ``microfacet.rs:324-340``).
+
+    Λ = (√(1 + a²tan²θ) − 1)/2 computed in the cap-free reduced form
+    (√(z² + (αx·x)² + (αy·y)²) − |z|) / (2|z|): capping a²tan²θ (a
+    previous revision capped it at 1e12) under-shadows super-grazing
+    directions, the mirror image of the :func:`d_ggx` cap bug."""
     x, y, z = w[..., 0], w[..., 1], w[..., 2]
     c2 = z * z
     ok = c2 > 1e-12
     c2s = jnp.where(ok, c2, 1.0)
     u = (alpha[..., 0] * x) ** 2 + (alpha[..., 1] * y) ** 2
-    big = u > 1e12 * c2s
-    a2t2 = jnp.where(big, 1e12, u / jnp.where(big, 1.0, c2s))
-    lam = (safe_sqrt(1.0 + a2t2) - 1.0) / 2.0
+    zs = safe_sqrt(c2s)
+    lam = (safe_sqrt(c2s + u) - zs) / (2.0 * zs)
     return jnp.where(ok, lam, 0.0)
 
 

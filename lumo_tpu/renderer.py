@@ -206,16 +206,22 @@ class Renderer:
             rgb = film_mod.spectral_to_rgb(color, lam_out, wbm)
             film_p = film_mod.new_film((w, h))
             film_p = film_mod.add_samples(film_p, filt, raster, rgb, (w, h))
-            if is_bdpt and sr.shape[0]:
+            if is_bdpt and sr.size:
                 # light-traced splats land at their own raster coords
-                # (reference ``film/tile.rs:96-111``)
-                reps = sr.shape[0] // N
-                lam_s = jnp.tile(lam_out, (reps, 1))
-                sc = film_mod.tone_map(tone_kind, sc, lam_s, tone_arg,
-                                       debug=debug)
+                # (reference ``film/tile.rs:96-111``).  Layout contract
+                # (bdpt.integrate docstring): splats are (reps, N, ...),
+                # axis 1 = ray index, so lam broadcasts across axis 0.
+                assert sr.ndim == 3 and sr.shape[1] == N, sr.shape
+                reps = sr.shape[0]
+                lam_s = jnp.broadcast_to(lam_out, (reps,) + lam_out.shape)
+                lam_s = lam_s.reshape(-1, lam_out.shape[-1])
+                sc = film_mod.tone_map(tone_kind, sc.reshape(-1, 4), lam_s,
+                                       tone_arg, debug=debug)
                 rgb_s = film_mod.spectral_to_rgb(sc, lam_s, wbm)
-                film_p = film_mod.add_samples(film_p, filt, sr, rgb_s, (w, h),
-                                              splat=True, mask=sm)
+                film_p = film_mod.add_samples(film_p, filt,
+                                              sr.reshape(-1, 2), rgb_s,
+                                              (w, h), splat=True,
+                                              mask=sm.reshape(-1))
             # per-pixel running stats for the next batch's adaptive delta
             # (luminance of the raw radiance + ray cost, ``task.rs:64-68``)
             from lumo_tpu.color import space as space_mod
@@ -264,7 +270,8 @@ class Renderer:
             return None
         w, h = self.camera.resolution
         if (w * h) % n:
-            raise ValueError(f"pixel count {w * h} must divide {n} devices")
+            raise ValueError(
+                f"pixel count {w * h} must be divisible by {n} devices")
         return mesh_mod.make_mesh(n)
 
     def render(self, verbose=True):

@@ -49,39 +49,42 @@ def _permute(i, l, p):
     i = jnp.asarray(i, jnp.uint32)
     p = jnp.asarray(p, jnp.uint32)
 
-    def body(state):
-        i, _ = state
-        i ^= p
-        i *= jnp.uint32(0xE170893D)
-        i ^= p >> 16
-        i ^= (i & w) >> 4
-        i ^= p >> 8
-        i *= jnp.uint32(0x0929EB3F)
-        i ^= p >> 23
-        i ^= (i & w) >> 1
-        i *= jnp.uint32(1 | (p >> 27))
-        i *= jnp.uint32(0x6935FA69)
-        i ^= (i & w) >> 11
-        i *= jnp.uint32(0x74DCCA9A)
-        i ^= (i & w) >> 2
-        i *= jnp.uint32(0x9E501CC3)
-        i ^= (i & w) >> 2
-        i *= jnp.uint32(0xC860A3DF)
-        i &= w
+    # NOTE: this is NOT Kensler's published mixing hash.  That hash
+    # multiplies by even constants (e.g. 0x74DCCA9A), which is not
+    # invertible mod 2^k — for small l entire cycles avoid [0, l) and
+    # distinct inputs collide (permute(0,2,0) == permute(1,2,0) == 0).
+    # Here every op is a bijection of [0, w+1): xor with a masked
+    # constant, multiply by an ODD constant then mask, masked xorshift.
+    # The cycle-walk below is then exact: it terminates and the result
+    # is a true permutation of [0, l) for every l.
+    def step(i):
+        i ^= p & w
+        i = (i * jnp.uint32(0x9E3779B1)) & w     # odd
+        i ^= i >> 3
+        i ^= (p >> 13) & w
+        i = (i * jnp.uint32(0x85EBCA77)) & w     # odd
+        i ^= i >> 7
+        i ^= (p >> 23) & w
+        i = (i * jnp.uint32(0xC2B2AE35)) & w     # odd
         i ^= i >> 5
-        return i, (i <= w) & (i < l)
+        return i
 
-    # cycle-walk: at most a few rounds; 4 static rounds with masking is
-    # enough for l up to 2^30 in practice (accept first in-range value)
-    out = i
-    done = jnp.zeros(i.shape, bool)
-    cur = i
-    for _ in range(8):
-        cur, ok = body((cur, None))
-        take = ok & ~done
-        out = jnp.where(take, cur, out)
-        done = done | ok
-    return (out + p) % jnp.uint32(l)
+    lim = jnp.uint32(l)
+    val = step(i)
+    done = val < lim
+
+    def cond_fn(state):
+        _, done = state
+        return ~jnp.all(done)
+
+    def body_fn(state):
+        val, done = state
+        nxt = step(val)
+        val = jnp.where(done, val, nxt)
+        return val, val < lim
+
+    val, _ = jax.lax.while_loop(cond_fn, body_fn, (val, done))
+    return (val + p) % lim
 
 
 def _randfloat(i, p):

@@ -301,8 +301,10 @@ def intersect(scene: SceneData, o, d, t_max=None, key=None, rng=None,
             has_ns = jnp.sum(dg["ns"] * dg["ns"], -1, keepdims=True) > 1e-12
             ns_w = jnp.where(
                 has_ns, nrm(jnp.einsum("nji,nj->ni", minv, dg["ns"])), ng_w)
+            # t_det, not raw t: miss lanes carry t=INF and 0*INF would
+            # NaN-poison camera/direction gradients through the where-merge
             err_w = geo.gamma_bound(9) * (jnp.abs(p_w) + jnp.abs(tr)
-                                          + jnp.abs(t[..., None] * d))
+                                          + jnp.abs(t_det[..., None] * d))
             dd = {"p": p_w, "ng": ng_w, "ns": ns_w, "uv": dg["uv"],
                   "err": err_w}
             pick = lambda a, b: jnp.where(

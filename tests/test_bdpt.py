@@ -44,7 +44,7 @@ def test_bdpt_runs_finite(scene, camera):
     assert float(r.mean()) > 0.0
     # light-tracing splats must actually land on the film
     assert float(sm.mean()) > 0.05
-    assert float(jnp.where(sm[:, None], sc, 0.0).sum()) > 0.0
+    assert float(jnp.where(sm[..., None], sc, 0.0).sum()) > 0.0
 
 
 def test_mis_weights_sum_to_one(scene, camera):
@@ -143,7 +143,7 @@ def test_bdpt_depth_configurable(scene, camera):
             lambda o, d, l, k: bdpt.integrate(scene, camera, o, d, l, k,
                                               max_verts=mv))(o, d, lam, key)
         total = (jnp.where(jnp.isfinite(r), r, 0.0).mean()
-                 + jnp.where(sm[:, None], sc, 0.0).sum() / (4 * n))
+                 + jnp.where(sm[..., None], sc, 0.0).sum() / (4 * n))
         means[mv] = float(total)
         assert np.isfinite(means[mv])
     # same RNG stream ⇒ identical prefix paths; only tail strategies add
@@ -172,7 +172,7 @@ def test_bdpt_gradients_match_fd(scene, camera):
         r, lo, sr, sc, sm, dep = bdpt.integrate(s2, camera, o, d, lam, key,
                                                 max_verts=4)
         return (jnp.sum(jnp.where(jnp.isfinite(r), r, 0.0))
-                + jnp.sum(jnp.where(sm[:, None], sc, 0.0)))
+                + jnp.sum(jnp.where(sm[..., None], sc, 0.0)))
 
     lfn = jax.jit(loss)
     val, grads = jax.value_and_grad(lfn)(mat_float)

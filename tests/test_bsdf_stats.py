@@ -166,6 +166,19 @@ def _chi2_pass(mat: Material, key) -> bool:
     # absorbs the ~0.2% grazing-angle rounding bias of f32 sampling
     n_tests = CHI2_RUNS * len(CHI2_CASES)
     alpha = 1.0 - (1.0 - CHI2_SLEVEL) ** (1.0 / n_tests)
+    if pval < alpha:
+        # dump the actual/expected tables for postmortem, like the
+        # reference does on failure (``chi2_tests.rs:73-95``)
+        import json
+        import tempfile
+        path = tempfile.mktemp(prefix="chi2_fail_", suffix=".json")
+        with open(path, "w") as fh:
+            json.dump({"wo": np.asarray(wo).tolist(),
+                       "lam": np.asarray(lam1).tolist(),
+                       "stat": stat, "dof": dof, "pval": pval,
+                       "actual": actual.tolist(),
+                       "expected": expected.tolist()}, fh)
+        print(f"chi2 dump: {path} (stat={stat:.1f} dof={dof} p={pval:.2e})")
     return pval >= alpha
 
 

@@ -98,12 +98,10 @@ def _render(dtype, res, spp, theta, scale_key, grad_mode=False, mask=None):
 def run(res=64, spp=4, fd_h=1e-3):
     from lumo_tpu import config
 
-    # the scaled material: the white walls' reflectance table
-    from lumo_tpu.scene.cornell import cornell_box
-    probe = cornell_box().build(dtype=np.float32)
-    scale_key = next(k for k, v in sorted(probe.materials.items())
-                     if jnp.issubdtype(v.dtype, jnp.floating)
-                     and v.size >= 4)
+    # the scaled material: the diffuse reflectance table ('kd'), so the
+    # FD-vs-AD probe exercises the BSDF gradient path (not just the more
+    # linear emission scaling)
+    scale_key = "kd"
 
     rad32, _ = _render(np.float32, res, spp, 1.0, scale_key)
     config.use_f64(True)
