@@ -198,15 +198,26 @@ def beckmann_pdf(wh, alpha):
 
 # ---------------------------------------------------------------------------
 # distribution dispatch: one masked select over the closed {GGX, Beckmann}
-# set (the reference's enum match, ``microfacet.rs:140``)
+# set (the reference's enum match, ``microfacet.rs:140``).  When the
+# material table provably contains no Beckmann rows, ``gather_params``
+# passes ``beck=False`` as a STATIC python bool and the Beckmann branch
+# is never built — scenes pay only for the distributions they use.
 
 def d_dist(wh, alpha, beck):
+    if isinstance(beck, bool):
+        return d_beckmann(wh, alpha) if beck else d_ggx(wh, alpha)
     return jnp.where(beck, d_beckmann(wh, alpha), d_ggx(wh, alpha))
 
 
 def g_smith_dist(wo, wi, wh, alpha, beck, eps=1e-7):
-    lam_o = jnp.where(beck, _lambda_beckmann(wo, alpha), _lambda_ggx(wo, alpha))
-    lam_i = jnp.where(beck, _lambda_beckmann(wi, alpha), _lambda_ggx(wi, alpha))
+    if isinstance(beck, bool):
+        lam_f = _lambda_beckmann if beck else _lambda_ggx
+        lam_o, lam_i = lam_f(wo, alpha), lam_f(wi, alpha)
+    else:
+        lam_o = jnp.where(beck, _lambda_beckmann(wo, alpha),
+                          _lambda_ggx(wo, alpha))
+        lam_i = jnp.where(beck, _lambda_beckmann(wi, alpha),
+                          _lambda_ggx(wi, alpha))
     g = 1.0 / (1.0 + lam_o + lam_i)
     return jnp.where(_chi_pass(wo, wh, eps), g, 0.0)
 
@@ -214,15 +225,19 @@ def g_smith_dist(wo, wi, wh, alpha, beck, eps=1e-7):
 def normal_pdf(wh, wo, alpha, beck):
     """PDF of `sample_normal_dist` over half-vectors: VNDF for GGX,
     D·cosθ for Beckmann (``microfacet.rs:361-380``)."""
+    if isinstance(beck, bool):
+        return beckmann_pdf(wh, alpha) if beck else vndf_pdf(wh, wo, alpha)
     return jnp.where(beck, beckmann_pdf(wh, alpha), vndf_pdf(wh, wo, alpha))
 
 
 def sample_normal_dist(wo, alpha, u, beck):
-    wh_g = sample_vndf(wo, alpha, u)
-    wh_b = sample_beckmann(alpha, u)
     # Beckmann samples the full NDF: flip into wo's hemisphere like the
     # pdf's |cos| convention expects (reference keeps wh upward and
     # relies on the χ⁺ test)
+    if isinstance(beck, bool):
+        return sample_beckmann(alpha, u) if beck else sample_vndf(wo, alpha, u)
+    wh_g = sample_vndf(wo, alpha, u)
+    wh_b = sample_beckmann(alpha, u)
     return jnp.where(beck[..., None], wh_b, wh_g)
 
 

@@ -121,7 +121,11 @@ def luminance(color, lam):
     _, Y, _ = _cmf_tables(color.dtype)
     pdf = wavelength.pdf(lam)
     y = dense.sample(Y, lam)
-    contrib = jnp.where(pdf > 0.0, y * color / pdf, 0.0)
+    # double-where: pdf == 0 (λ rounded outside [360, 830]) must be
+    # sanitized BEFORE the division or its transpose computes 0/0 = NaN
+    ok = pdf > 0.0
+    pdf_safe = jnp.where(ok, pdf, 1.0)
+    contrib = jnp.where(ok, y * color / pdf_safe, 0.0)
     return jnp.mean(contrib, axis=-1) / dense.Y_INTEGRAL
 
 
@@ -130,7 +134,13 @@ def to_xyz(color, lam):
     (reference ``color.rs:98-107``)."""
     X, Y, Z = _cmf_tables(color.dtype)
     pdf = wavelength.pdf(lam)
-    w = jnp.where(pdf > 0.0, color / pdf, 0.0)
+    # double-where (see luminance): the round-4 flagship NaN-grad bug —
+    # a hero wavelength of 359.99957nm (f32 rounding below LAMBDA_MIN)
+    # made pdf 0 and the masked division's transpose 0/0 = NaN,
+    # poisoning every material-table gradient
+    ok = pdf > 0.0
+    pdf_safe = jnp.where(ok, pdf, 1.0)
+    w = jnp.where(ok, color / pdf_safe, 0.0)
     out = jnp.stack([
         jnp.mean(dense.sample(X, lam) * w, axis=-1),
         jnp.mean(dense.sample(Y, lam) * w, axis=-1),

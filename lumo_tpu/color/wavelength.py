@@ -21,8 +21,13 @@ SAMPLE_VISIBLE_INTEGRAL = 253.819
 
 def sample_one(u):
     """Importance-sample one wavelength from the visible-weighted cosh^-2
-    distribution (reference ``wavelength.rs:56-60``)."""
-    return 538.0 - 138.888889 * jnp.arctanh(0.85691062 - SAMPLE_VISIBLE_INTEGRAL * u * 0.0072)
+    distribution (reference ``wavelength.rs:56-60``).  Clamped into
+    [LAMBDA_MIN, LAMBDA_MAX]: f32 rounding near u→0/1 can otherwise land
+    ~4e-4nm outside, where every spectral pdf/table treats the sample as
+    out-of-range (pdf 0 → masked 0/0 in downstream division VJPs)."""
+    lam = 538.0 - 138.888889 * jnp.arctanh(
+        0.85691062 - SAMPLE_VISIBLE_INTEGRAL * u * 0.0072)
+    return jnp.clip(lam, LAMBDA_MIN, LAMBDA_MAX)
 
 
 def sample(u):

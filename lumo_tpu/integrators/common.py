@@ -55,13 +55,20 @@ def mis_weight_and_contrib(scene, mp, wo, wi, hit, light_hit, lam,
     emit = trace.emitted(scene, light_hit["mat"], lam,
                          light_hit["uv"], light_hit["backface"])
     cos = bsdf.shading_cosine(mp, wi, hit["ns"])
-    # power-2 heuristic in overflow-safe ratio form:
-    # w_sel = p_sel² / (p_sel² + p_oth²) = 1 / (1 + (p_oth/p_sel)²)
-    p_sel = jnp.where(light_sampled, p_lig, p_sct)
-    p_oth = jnp.where(light_sampled, p_sct, p_lig)
-    ratio = jnp.clip(p_oth / p_sel, 0.0, 1e18)
-    w = 1.0 / (1.0 + ratio * ratio)
-    contrib = f_val * tr * emit * (cos * w / p_sel)[..., None]
+    # power-2 heuristic FOLDED with the 1/p_sel estimator division:
+    # w/p_sel = p_sel/(p_sel² + p_oth²).  Computing w and 1/p_sel as
+    # separate factors makes 1/p_sel overflow to INF for legitimately
+    # tiny pdfs before the tiny weight cancels it — 0-cotangent · INF
+    # then NaN-poisons the whole material-table gradient (the round-4
+    # threefry-jitter NaN).  The folded form is bounded and its VJP is
+    # finite; clips keep the squares inside f32 range.
+    # denominator floor 1e-20 (not 1e-30): its own division VJP scales
+    # as den^-1.5, and 1e-20^-1.5 = 1e30 still fits f32 while 1e-30
+    # would overflow to INF (→ 0·INF NaN through the masked lanes)
+    p_sel = jnp.clip(jnp.where(light_sampled, p_lig, p_sct), 0.0, 1e18)
+    p_oth = jnp.clip(jnp.where(light_sampled, p_sct, p_lig), 0.0, 1e18)
+    w_over_p = p_sel / jnp.maximum(p_sel * p_sel + p_oth * p_oth, 1e-20)
+    contrib = f_val * tr * emit * (cos * w_over_p)[..., None]
     return jnp.where(ok[..., None], contrib, 0.0)
 
 
@@ -93,7 +100,8 @@ def _shadow_branch(scene, mp, wo, wi, hit, light, lam, light_sampled, rng,
     p_sct = checkpoint_name(p_sct, "geom")
     contrib = mis_weight_and_contrib(scene, mp, wo, wi, hit, lh, lam,
                                      p_lig, p_sct, light_sampled, f_val)
-    return jnp.where(visible[..., None], contrib, 0.0)
+    return jnp.where(visible[..., None] & jnp.isfinite(contrib),
+                     contrib, 0.0)
 
 
 def single_shadow_ray(scene, mp, wo, hit, lam, rng):

@@ -42,7 +42,7 @@ def ray_keys(key, n):
 
 
 def integrate(scene, o, d, lam, key=None, delta=1.0, max_depth=MAX_DEPTH,
-              fixed_depth=None, ray_key=None):
+              fixed_depth=None, ray_key=None, remat_policy=None):
     """Trace a wavefront of N camera rays to completion.
 
     o, d: (N, 3); lam: (N, 4) hero wavelengths; delta: RR threshold.
@@ -100,7 +100,10 @@ def integrate(scene, o, d, lam, key=None, delta=1.0, max_depth=MAX_DEPTH,
         # the fused BSDF outputs means the backward sweep recomputes only
         # cheap glue, not the one-hot gathers + microfacet math (measured
         # ~25% fwd+bwd win; full no-remat is slower AND NaN-prone)
-        mp = {k: checkpoint_name(v, "geom") for k, v in mp.items()}
+        # (mf_beck / kinds_present may be STATIC python values — see
+        # bsdf._static_beck / bsdf._kinds_present)
+        mp = {k: (checkpoint_name(v, "geom") if isinstance(v, jax.Array)
+                  else v) for k, v in mp.items()}
         mp2 = mp
 
         u_lobe = _randfloat(rng, _S_LOBE)
@@ -137,7 +140,12 @@ def integrate(scene, o, d, lam, key=None, delta=1.0, max_depth=MAX_DEPTH,
                                   hit["backface"], lam2, RADIANCE)
         f_val = checkpoint_name(f_val, "geom")
         p_sct = checkpoint_name(p_sct, "geom")
-        alive = alive & (p_sct > 0.0) & jnp.isfinite(p_sct)
+        # pdf floor 1e-12: p below it would make the division VJP
+        # (-ct·cos/p²) overflow f32 even though f/p itself is bounded —
+        # 0-cotangent · INF NaN-poisons the material-table gradients.
+        # Such paths carry astronomically-weighted firefly contributions;
+        # the reference's f64 never reaches them either.
+        alive = alive & (p_sct > 1e-12) & jnp.isfinite(p_sct)
         # sanitize the divisor BEFORE masking: dead lanes otherwise compute
         # f/0 whose (discarded) gradients are NaN through the jnp.where
         p_safe = jnp.where(alive, p_sct, 1.0)
@@ -186,8 +194,9 @@ def integrate(scene, o, d, lam, key=None, delta=1.0, max_depth=MAX_DEPTH,
         # sweeps — the dominant forward cost — run exactly once, and their
         # raw per-prim candidate tests (the truly huge residuals) are
         # never stored.
-        body_ckpt = jax.checkpoint(
-            body, policy=jax.checkpoint_policies.save_only_these_names("geom"))
+        if remat_policy is None:
+            remat_policy = jax.checkpoint_policies.save_only_these_names("geom")
+        body_ckpt = jax.checkpoint(body, policy=remat_policy)
         out, _ = jax.lax.scan(lambda s, _: (body_ckpt(s), None), state, None,
                               length=fixed_depth)
     return out["radiance"], out["lam"], out["depth"]

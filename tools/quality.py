@@ -123,12 +123,18 @@ def run(res=64, spp=4, fd_h=1e-3):
 
     config.use_f64(True)
     try:
-        # FD pixel gradient in f64 (the reference-quality derivative)
-        _, lp = _render(np.float64, res, spp, 1.0 + fd_h, scale_key, True,
-                        stable)
-        _, lm = _render(np.float64, res, spp, 1.0 - fd_h, scale_key, True,
-                        stable)
-        g_fd = (float(lp) - float(lm)) / (2.0 * fd_h)
+        # FD pixel gradient in f64 (the reference-quality derivative).
+        # 5-point central stencil: the kd-scaled loss is cubic-ish in
+        # theta, so the O(h²) 2-point stencil's truncation (~1e-5 rel)
+        # would dominate the AD-vs-FD comparison.
+        def f64_loss(th):
+            return float(_render(np.float64, res, spp, th, scale_key,
+                                 True, stable)[1])
+        lp1 = f64_loss(1.0 + fd_h)
+        lm1 = f64_loss(1.0 - fd_h)
+        lp2 = f64_loss(1.0 + 2 * fd_h)
+        lm2 = f64_loss(1.0 - 2 * fd_h)
+        g_fd = (8.0 * (lp1 - lm1) - (lp2 - lm2)) / (12.0 * fd_h)
         # f64 AD gradient of the SAME estimator: isolates AD correctness
         g64 = float(jax.grad(
             lambda th: _render(np.float64, res, spp, th, scale_key,
