@@ -33,10 +33,13 @@ import time
 # default 4 render threads.  Falls back to the literature-class 2.0e6
 # figure if the anchor has not been measured on this host.
 CPU_ANCHOR_RAYS_PER_S = 2.0e6
+CPU_ANCHOR_BVH_RAYS_PER_S = None
 _ANCHOR_FILE = os.path.join(os.path.dirname(__file__), "BASELINE_ANCHOR.json")
 if os.path.exists(_ANCHOR_FILE):
     with open(_ANCHOR_FILE) as f:
-        CPU_ANCHOR_RAYS_PER_S = json.load(f)["rays_per_s"]
+        _anchor = json.load(f)
+    CPU_ANCHOR_RAYS_PER_S = _anchor["rays_per_s"]
+    CPU_ANCHOR_BVH_RAYS_PER_S = _anchor.get("bvh", {}).get("rays_per_s")
 
 RES = 256
 SPP = 64
@@ -171,25 +174,44 @@ def bench_bvh_scene():
         jax.random.uniform(jax.random.PRNGKey(3), (n,)))
 
     BVH_SPP = 8
+    n_samples = n * BVH_SPP
+    from lumo_tpu.sampling.samplers import _hash_u32, _randfloat
+
+    # persistent wavefront with path regeneration: terminated lanes pick
+    # up fresh samples immediately instead of idling through the RR tail
+    def gen(idx):
+        p = (idx % n).astype(jnp.uint32)
+        s = (idx // n).astype(jnp.uint32)
+        gx = (p % RES).astype(jnp.float32)
+        gy = (p // RES).astype(jnp.float32)
+        jx = _randfloat(p, s ^ jnp.uint32(0x51633E2D))
+        jy = _randfloat(p, s ^ jnp.uint32(0x68BC21EB))
+        raster = jnp.stack([gx + jx, gy + jy], -1)
+        oo, dd = camera.generate_ray(raster, jnp.full(raster.shape, 0.5))
+        ll = wavelength.sample(_randfloat(p, s ^ jnp.uint32(0x02E5BE93)))
+        rk = _hash_u32(p ^ _hash_u32(s ^ jnp.uint32(0x9E3779B9)))
+        return {"o": oo, "d": dd, "lam": ll, "rng": rk}
+
+    def fold(acc, term, st):
+        return acc + jnp.sum(jnp.where(term, st["depth"], 0)) * 2.0
 
     @jax.jit
-    def fwd(key):
-        def one(carry, i):
-            rk = (pix * jnp.uint32(2654435761)) ^ jnp.uint32(i * 7919 + 1)
-            r, _, depth = path_trace.integrate(scene, o, d, lam, ray_key=rk)
-            return carry + jnp.sum(depth.astype(jnp.float32)) * 2.0, None
-        rays, _ = jax.lax.scan(one, 0.0, jnp.arange(BVH_SPP))
-        return rays
+    def fwd():
+        return path_trace.integrate_stream(
+            scene, gen, fold, jnp.zeros((), jnp.float32), n, n_samples)
 
-    key = jax.random.PRNGKey(0)
-    rays = fwd(key)
+    rays = fwd()
     rays.block_until_ready()
     t0 = time.perf_counter()
-    rays = fwd(key)
+    rays = fwd()
     rays.block_until_ready()
     dt = time.perf_counter() - t0
-    return {"bvh_scene_tris": int(scene.n_tris),
-            "bvh_scene_fwd_rays_per_sec": round(float(rays) / dt, 1)}
+    out = {"bvh_scene_tris": int(scene.n_tris),
+           "bvh_scene_fwd_rays_per_sec": round(float(rays) / dt, 1)}
+    if CPU_ANCHOR_BVH_RAYS_PER_S:
+        out["vs_baseline"] = round(
+            float(rays) / dt / CPU_ANCHOR_BVH_RAYS_PER_S, 3)
+    return out
 
 
 def bench_smoke():

@@ -265,17 +265,20 @@ def _pairwise_tri_t(ox, oy, oz, kz, sx, sy, sz, tri, t_min, t_max):
 def _traverse_kernel(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
                      n_right, n_first, n_count, n_axis, n_blk,
                      rays, rays_t, tri_hbm, t_out, prim_out,
-                     blk_buf, stack, sem, *, lblk, any_hit, sub):
+                     blk_buf, stack, tbest, sem, *, lblk, any_hit, sub):
     """One packet: R = sub*128 rays, scalar SMEM stack, leaf DMA.
 
-    Mosaic cannot relayout (sub, 128) <-> (R, 1) vectors, so the packet
-    carries the SAME rays in two layouts: ``rays`` comp-major
+    Mosaic cannot freely relayout (sub, 128) <-> (R, 1) vectors, so the
+    packet carries the SAME rays in two layouts: ``rays`` comp-major
     (8, sub, 128) drives the full-lane slab test; ``rays_t`` (R, 8)
     yields the (R, 1) lane-slices the dense (R, lblk) leaf test
-    broadcasts against.  The two phases only exchange SCALARS: the
-    any-reduce of the slab mask, and ``t_worst`` = max over rays of the
-    current best t, which replaces per-ray t pruning (the Woop test is
-    exact, so weaker pruning cannot change results)."""
+    broadcasts against.  PER-RAY t pruning (round 4): ``tbest`` is a
+    (sub, 128) slab-layout mirror of the per-ray best t, updated from
+    each leaf row's (128, 1) result through an eye-masked min-reduce
+    (the one relayout Mosaic can't do directly).  The r3 kernel pruned
+    with the scalar ``t_worst = max(t)`` instead, which is INF until
+    every ray has hit something — packets walked essentially the whole
+    tree (measured 3731 visited nodes/packet vs 58 with per-ray t)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -315,18 +318,13 @@ def _traverse_kernel(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
     dead_c = tmax_c <= 0.0               # same lanes, column layout
     t_out[...] = jnp.where(dead_c, _F32(-INF), tmax_c)
     prim_out[...] = jnp.full((R, 1), -1, _I32)
+    # per-ray prune state in slab layout; dead lanes never want a node
+    tbest[...] = jnp.where(dead8, _F32(-INF), tmax0)
     stack[0] = _I32(0)
+    eye = (jax.lax.broadcasted_iota(_I32, (128, 128), 0)
+           == jax.lax.broadcasted_iota(_I32, (128, 128), 1))
 
-    def cond(carry):
-        sp, ndone, t_worst = carry
-        live = sp > 0
-        if any_hit:
-            live &= ndone < R
-        return live
-
-    def body(carry):
-        sp, ndone, t_worst = carry
-        node = stack[sp - 1]
+    def slab_want(node):
         t0x, t1x = (lo_x[node] - ox) * ix, (hi_x[node] - ox) * ix
         t0y, t1y = (lo_y[node] - oy) * iy, (hi_y[node] - oy) * iy
         t0z, t1z = (lo_z[node] - oz) * iz, (hi_z[node] - oz) * iz
@@ -336,45 +334,86 @@ def _traverse_kernel(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
         tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                      jnp.maximum(t0y, t1y)),
                          jnp.maximum(t0z, t1z)) * _F32(1.00000024)
-        want = (tn <= tf) & (tf > t_min) & (tn < t_worst) & ~dead8
+        # conservative prune: inflate the (positive) best-t bound so fp
+        # error in tn can never drop a node containing the true closest
+        return (tn <= tf) & (tf > t_min) & (tn < tbest[...]
+                                            * _F32(1.00000024))
+
+    def process_leaf(node, bi):
+        """Test the rows of pending leaf ``node`` against the block in
+        ``blk_buf[bi]`` (its DMA must be complete).  The want mask is
+        recomputed against the CURRENT tbest — tighter than when the
+        leaf was popped."""
+        want = slab_want(node)
+        count = n_count[node]
+        lane = jax.lax.broadcasted_iota(_I32, (128, lblk), 1)
+        id_row = blk_buf[bi, 9:10, :]                        # (1, lblk)
+        buf2d = blk_buf[bi]
+        for r in range(sub):
+            rw = jnp.any(want[r])
+
+            @pl.when(rw)
+            def _row(r=r):
+                sl = slice(r * 128, (r + 1) * 128)
+                tt = _pairwise_tri_t(
+                    ox_c[sl], oy_c[sl], oz_c[sl], kz_c[sl],
+                    sx[sl], sy[sl], sz[sl], buf2d, t_min, t_out[sl])
+                tt = jnp.where(lane < count, tt, INF)
+                tb = jnp.min(tt, axis=1, keepdims=True)     # (128, 1)
+                # prim id of the best slot: min id among t-ties
+                # (matches the dense argmin tie-break); ids are exact
+                # small-int f32 (row 9)
+                pid = jnp.min(jnp.where(tt <= tb, id_row, _F32(3e7)),
+                              axis=1, keepdims=True).astype(_I32)
+                better = tb < t_out[sl]   # dead lanes at -INF: never
+                t_out[sl] = jnp.where(better, tb, t_out[sl])
+                prim_out[sl] = jnp.where(better, pid, prim_out[sl])
+                # mirror the new best t into the slab-layout prune
+                # state: eye-masked min-reduce = (128,1) -> (1,128)
+                tb_row = jnp.min(
+                    jnp.where(eye, jnp.broadcast_to(tb, (128, 128)),
+                              INF), axis=0, keepdims=True)
+                if any_hit:
+                    # occlusion: a hit ray stops participating
+                    tbest[r:r + 1, :] = jnp.where(
+                        tb_row < INF, _F32(-INF), tbest[r:r + 1, :])
+                else:
+                    tbest[r:r + 1, :] = jnp.minimum(
+                        tbest[r:r + 1, :], tb_row)
+
+    def cond(carry):
+        sp, ndone, pend, cur = carry
+        live = sp > 0
+        if any_hit:
+            live &= ndone < R
+        return live
+
+    def body(carry):
+        sp, ndone, pend, cur = carry
+        node = stack[sp - 1]
+        want = slab_want(node)
         hit_any = jnp.any(want)
 
         count = n_count[node]
         is_leaf = count > 0
+        leaf_hit = hit_any & is_leaf
 
-        @pl.when(hit_any & is_leaf)
+        # Double-buffered leaf pipeline: start this leaf's DMA into
+        # blk_buf[cur], then (while it flies) process the PREVIOUS leaf
+        # from the other buffer.  The DMA latency (~2µs × every leaf
+        # visit — measured ~40% of the closest-hit walk) hides behind
+        # the previous leaf's row tests and the following interior pops.
+        @pl.when(leaf_hit)
         def _leaf():
-            dma = pltpu.make_async_copy(tri_hbm.at[n_blk[node]], blk_buf,
-                                        sem)
-            dma.start()
-            dma.wait()
-            # row-gated: rays are coherence-sorted, so the lanes wanting
-            # one leaf cluster into few 128-ray rows — test each row only
-            # if some lane in it wants the node (the full (R, lblk) test
-            # was ~95% wasted work).  Slab row r covers column-layout
-            # rays [r*128, (r+1)*128): both layouts index ray
-            # row*128 + lane.
-            lane = jax.lax.broadcasted_iota(_I32, (128, lblk), 1)
-            id_row = blk_buf[9:10, :]                            # (1, lblk)
-            for r in range(sub):
-                rw = jnp.any(want[r])
+            pltpu.make_async_copy(tri_hbm.at[n_blk[node]],
+                                  blk_buf.at[cur], sem.at[cur]).start()
 
-                @pl.when(rw)
-                def _row(r=r):
-                    sl = slice(r * 128, (r + 1) * 128)
-                    tt = _pairwise_tri_t(
-                        ox_c[sl], oy_c[sl], oz_c[sl], kz_c[sl],
-                        sx[sl], sy[sl], sz[sl], blk_buf, t_min, t_out[sl])
-                    tt = jnp.where(lane < count, tt, INF)
-                    tb = jnp.min(tt, axis=1, keepdims=True)     # (128, 1)
-                    # prim id of the best slot: min id among t-ties
-                    # (matches the dense argmin tie-break); ids are exact
-                    # small-int f32 (row 9)
-                    pid = jnp.min(jnp.where(tt <= tb, id_row, _F32(3e7)),
-                                  axis=1, keepdims=True).astype(_I32)
-                    better = tb < t_out[sl]   # dead lanes at -INF: never
-                    t_out[sl] = jnp.where(better, tb, t_out[sl])
-                    prim_out[sl] = jnp.where(better, pid, prim_out[sl])
+            @pl.when(pend >= 0)
+            def _drain_prev():
+                pltpu.make_async_copy(tri_hbm.at[n_blk[pend]],
+                                      blk_buf.at[1 - cur],
+                                      sem.at[1 - cur]).wait()
+                process_leaf(pend, 1 - cur)
 
         @pl.when(hit_any & ~is_leaf)
         def _interior():
@@ -391,13 +430,24 @@ def _traverse_kernel(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
 
         sp = jnp.where(hit_any & ~is_leaf, jnp.minimum(sp + 1, STACK),
                        sp - 1)
-        t_worst = jnp.max(t_out[...])
+        pend = jnp.where(leaf_hit, node, pend)
+        cur = jnp.where(leaf_hit, 1 - cur, cur)
         if any_hit:
             ndone = jnp.sum((prim_out[...] >= 0).astype(_I32)) \
                 + jnp.sum(dead_c.astype(_I32))
-        return sp, ndone, t_worst
+        return sp, ndone, pend, cur
 
-    jax.lax.while_loop(cond, body, (_I32(1), _I32(0), _F32(INF)))
+    _, _, pend, cur = jax.lax.while_loop(
+        cond, body, (_I32(1), _I32(0), _I32(-1), _I32(0)))
+
+    # drain the last pending leaf
+    @pl.when(pend >= 0)
+    def _drain_last():
+        pltpu.make_async_copy(tri_hbm.at[n_blk[pend]],
+                              blk_buf.at[1 - cur],
+                              sem.at[1 - cur]).wait()
+        process_leaf(pend, 1 - cur)
+
     # misses (and tmax-padding lanes) report INF
     t_out[...] = jnp.where(prim_out[...] >= 0, t_out[...], INF)
 
@@ -452,9 +502,10 @@ def _run(scalars, tri_blk, packed, packed_t, *, any_hit, lblk,
             jax.ShapeDtypeStruct((NP * R, 1), _I32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BLK_ROWS, lblk), _F32),
+            pltpu.VMEM((2, BLK_ROWS, lblk), _F32),   # double-buffered leaf
             pltpu.SMEM((STACK,), _I32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((sub, 128), _F32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(*[scalars[k] for k in _SCALARS], packed, packed_t, tri_blk)

@@ -1,0 +1,93 @@
+"""integrate_stream (persistent wavefront with path regeneration) must
+reproduce batch integrate sample-for-sample: every draw is a counter-hash
+of the sample's ray_key, so a sample's radiance cannot depend on which
+lane or wavefront iteration computed it.  The two jit graphs fuse
+differently, so results match to f32 rounding, not bitwise — and an
+ulp-level difference can flip a discrete RR/lobe threshold for a rare
+sample, whose path then diverges entirely.  The test therefore asserts
+near-equality for ~all samples and a tiny bounded flip rate."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lumo_tpu.camera import cornell_camera
+from lumo_tpu.color import wavelength
+from lumo_tpu.integrators import path_trace
+from lumo_tpu.sampling.samplers import _hash_u32, _randfloat
+from lumo_tpu.scene.cornell import cornell_box
+
+RES = 16
+N_PIX = RES * RES
+SPP = 8
+N_SAMPLES = N_PIX * SPP
+
+
+def _sample_inputs(scene, camera, idx):
+    pix = (idx % N_PIX).astype(jnp.uint32)
+    spp = (idx // N_PIX).astype(jnp.uint32)
+    px = (pix % RES).astype(jnp.float32)
+    py = (pix // RES).astype(jnp.float32)
+    jx = _randfloat(pix, spp ^ jnp.uint32(0x51633E2D))
+    jy = _randfloat(pix, spp ^ jnp.uint32(0x68BC21EB))
+    raster = jnp.stack([px + jx, py + jy], -1)
+    o, d = camera.generate_ray(raster, jnp.full(raster.shape, 0.5))
+    lam = wavelength.sample(_randfloat(pix, spp ^ jnp.uint32(0x02E5BE93)))
+    rng = _hash_u32(pix ^ _hash_u32(spp ^ jnp.uint32(0x9E3779B9)))
+    return o, d, lam, rng, pix
+
+
+def test_stream_matches_batch_bitexact():
+    scene = cornell_box().build()
+    camera = cornell_camera(resolution=(RES, RES))
+
+    # batch: one integrate call per spp over all pixels
+    batch = np.zeros((N_SAMPLES, 4), np.float32)
+    for s in range(SPP):
+        idx = jnp.arange(N_PIX, dtype=jnp.uint32) + jnp.uint32(s * N_PIX)
+        o, d, lam, rng, pix = _sample_inputs(scene, camera, idx)
+        r, lo, dep = jax.jit(
+            lambda o, d, lam, rng: path_trace.integrate(
+                scene, o, d, lam, ray_key=rng))(o, d, lam, rng)
+        batch[s * N_PIX:(s + 1) * N_PIX] = np.asarray(r)
+
+    # stream: 512 lanes regenerating through all samples
+    def gen(idx):
+        o, d, lam, rng, pix = _sample_inputs(scene, camera, idx)
+        return {"o": o, "d": d, "lam": lam, "rng": rng,
+                "samp": idx, "pix": pix}
+
+    def fold(acc, term, st):
+        samp = jnp.where(term, st["samp"], jnp.uint32(N_SAMPLES))
+        accr, cnt = acc
+        accr = accr.at[samp].add(
+            jnp.where(term[:, None], st["radiance"], 0.0), mode="drop")
+        cnt = cnt.at[samp].add(jnp.where(term, 1, 0), mode="drop")
+        return accr, cnt
+
+    acc0 = (jnp.zeros((N_SAMPLES, 4), jnp.float32),
+            jnp.zeros((N_SAMPLES,), jnp.int32))
+    accr, cnt = jax.jit(lambda a: path_trace.integrate_stream(
+        scene, gen, fold, a, 512, N_SAMPLES))(acc0)
+    stream = np.asarray(accr)
+
+    # every sample traced and folded exactly once
+    assert (np.asarray(cnt) == 1).all()
+    close = np.isclose(stream, batch, rtol=1e-4, atol=1e-5).all(axis=1)
+    flip_rate = 1.0 - close.mean()
+    assert flip_rate < 0.005, (flip_rate, np.abs(stream - batch).max())
+
+
+def test_stream_counts_all_samples():
+    scene = cornell_box().build()
+    camera = cornell_camera(resolution=(RES, RES))
+
+    def gen(idx):
+        o, d, lam, rng, pix = _sample_inputs(scene, camera, idx)
+        return {"o": o, "d": d, "lam": lam, "rng": rng, "samp": idx}
+
+    def fold(acc, term, st):
+        return acc + jnp.sum(term)
+
+    n = jax.jit(lambda a: path_trace.integrate_stream(
+        scene, gen, fold, a, 300, N_SAMPLES))(jnp.zeros((), jnp.int32))
+    assert int(n) == N_SAMPLES, int(n)
