@@ -144,8 +144,100 @@ def test_instanced_grads_flow():
     assert np.isfinite(gn) and gn > 0.0
 
 
-def test_light_instances_rejected():
+def test_light_instances_bake():
+    """LIGHT-material instances are accepted (round 4): realized as baked
+    world-space light triangles, so they appear in the light tables
+    instead of the runtime-shared instance groups."""
     sb = SceneBuilder()
-    with pytest.raises(ValueError):
-        _blob_mesh().add_instances_to(
-            sb, [np.eye(4)], [Material.light((1, 1, 1))])
+    _blob_mesh().add_instances_to(sb, [np.eye(4)],
+                                  [Material.light((1, 1, 1))])
+    s = sb.build()
+    assert s.n_lights > 0
+    assert not s.inst
+
+
+# ---------------------------------------------------------------------------
+# instanced lights (reference ``instance.rs:169-199``, ``:301-344``)
+
+def test_instanced_light_matches_baked():
+    """An instanced LIGHT mesh must be Sampleable with pdfs/areas equal
+    to the analytically transformed plain light (reference asserts
+    instance pdf/area == transformed-object pdf/area)."""
+    quad_v = np.asarray([[-0.5, 0.0, -0.5], [0.5, 0.0, -0.5],
+                         [0.5, 0.0, 0.5], [-0.5, 0.0, 0.5]])
+    quad_f = np.asarray([[0, 1, 2], [0, 2, 3]])
+    T = translation(0.2, 1.9, -1.1) @ rotate_y(0.6) @ scale(1.7, 1.0, 0.8)
+    light = Material.light((1.0, 0.9, 0.8), scale=5.0)
+    floor = Material.diffuse((0.7, 0.7, 0.7))
+
+    def base(sb):
+        sb.add_rectangle((-3, -1, -4), (3, -1, -4), (-3, -1, 2), floor)
+
+    sb_i = SceneBuilder()
+    base(sb_i)
+    sb_i.add_instanced_triangles(quad_v, quad_f, [T], [light])
+    s_inst = sb_i.build()
+
+    sb_b = SceneBuilder()
+    base(sb_b)
+    vw = quad_v @ np.asarray(T)[:3, :3].T + np.asarray(T)[:3, 3]
+    sb_b.add_triangles(vw, quad_f, light)
+    s_bake = sb_b.build()
+
+    # identical light tables: area-proportional pdfs and prim geometry
+    assert s_inst.n_lights == s_bake.n_lights == 2
+    np.testing.assert_allclose(np.asarray(s_inst.light_pdf),
+                               np.asarray(s_bake.light_pdf), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_inst.tri_a),
+                               np.asarray(s_bake.tri_a), rtol=1e-6)
+
+    # sample_towards / pdf parity from a fixed shading point
+    xo = jnp.asarray([[0.0, -0.5, -1.0]] * 64, jnp.float32)
+    u = jax.random.uniform(jax.random.PRNGKey(0), (64, 2))
+    li = jnp.zeros((64,), jnp.int32)
+    wi_i = trace.sample_towards(s_inst, li, xo, u)
+    wi_b = trace.sample_towards(s_bake, li, xo, u)
+    np.testing.assert_allclose(np.asarray(wi_i), np.asarray(wi_b),
+                               atol=1e-6)
+    # pdf at the sampled directions (hit point/ng via light_hit)
+    lh_i = trace.light_hit(s_inst, li, xo, wi_i)
+    p_i = trace.sample_towards_pdf(s_inst, li, xo, wi_i, lh_i["p"],
+                                   lh_i["ng"])
+    lh_b = trace.light_hit(s_bake, li, xo, wi_b)
+    p_b = trace.sample_towards_pdf(s_bake, li, xo, wi_b, lh_b["p"],
+                                   lh_b["ng"])
+    np.testing.assert_allclose(np.asarray(p_i), np.asarray(p_b),
+                               rtol=1e-5)
+
+
+def test_instanced_light_renders():
+    """End-to-end: a scene lit ONLY by an instanced light renders
+    non-black and matches the baked-light render."""
+    from lumo_tpu.camera import build_camera
+    from lumo_tpu.renderer import Renderer
+
+    quad_v = np.asarray([[-0.5, 0.0, -0.5], [0.5, 0.0, -0.5],
+                         [0.5, 0.0, 0.5], [-0.5, 0.0, 0.5]])
+    quad_f = np.asarray([[0, 1, 2], [0, 2, 3]])
+    T = translation(0.0, 0.75, -1.5) @ scale(0.8, 1.0, 0.8)
+    light = Material.light((1.0, 1.0, 1.0), scale=8.0)
+    floor = Material.diffuse((0.7, 0.7, 0.7))
+    cam = build_camera(resolution=(16, 16))
+
+    sb_i = SceneBuilder()
+    sb_i.add_rectangle((-3, -0.79, -4), (3, -0.79, -4), (-3, -0.79, 2),
+                       floor)
+    sb_i.add_instanced_triangles(quad_v, quad_f, [T], [light])
+    img_i = Renderer(sb_i.build(), cam).samples(16).seed(3) \
+        .render(verbose=False)
+
+    sb_b = SceneBuilder()
+    sb_b.add_rectangle((-3, -0.79, -4), (3, -0.79, -4), (-3, -0.79, 2),
+                       floor)
+    vw = quad_v @ np.asarray(T)[:3, :3].T + np.asarray(T)[:3, 3]
+    sb_b.add_triangles(vw, quad_f, light)
+    img_b = Renderer(sb_b.build(), cam).samples(16).seed(3) \
+        .render(verbose=False)
+
+    assert img_i.mean() > 1e-3
+    np.testing.assert_allclose(img_i, img_b, rtol=1e-5, atol=1e-6)
