@@ -384,3 +384,34 @@ def mesh_from_url(url: str, material: Material,
         obj_name = _zip_member(zf, ".obj")
         return mesh_from_file(io.BytesIO(zf.read(obj_name)), material, builder)
     return mesh_from_file(path, material, builder)
+
+
+def texture_from_url(url: str, builder: SceneBuilder):
+    """Download (with ./scenes/ cache) an image — optionally inside a
+    .zip — decode it, and register it in ``builder.textures``; returns
+    the texture id for ``Material(..., kd_tex=id)``
+    (reference ``parser.rs:177-182``)."""
+    from lumo_tpu.io import image as image_mod
+
+    def _dec(name, data):
+        src = io.BytesIO(data)
+        if name.lower().endswith(".hdr"):
+            return image_mod.load_hdr(src)
+        return image_mod.load_png(src)
+
+    path = _download(url)
+    if path.endswith(".zip"):
+        with open(path, "rb") as f:
+            zf = zipfile.ZipFile(io.BytesIO(f.read()))
+        name = None
+        for suffix in (".png", ".hdr", ".jpg", ".jpeg"):
+            name = _zip_member(zf, suffix)
+            if name:
+                break
+        if name is None:
+            raise ValueError(f"no image inside {url}")
+        rgb = _dec(name, zf.read(name))
+    else:
+        with open(path, "rb") as f:
+            rgb = _dec(path, f.read())
+    return builder.textures.image(rgb)

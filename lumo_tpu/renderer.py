@@ -48,7 +48,7 @@ class Renderer:
         self._delta = None  # None → adaptive RR (task.rs:42-53); float → fixed
         self._debug = False  # paint NaN/neg/huge radiance (tone_mapping.rs:42-56)
         self._devices = None  # shard over n devices (None = all available)
-        self._bdpt_depth = bdpt.MAX_VERTS  # max vertices per BDPT subpath
+        self._bdpt_depth = None  # max vertices per BDPT subpath (auto)
 
     # fluent config (mirrors reference ``renderer.rs:66-99``)
     def samples(self, n):
@@ -153,6 +153,18 @@ class Renderer:
         fixed_delta = self._delta
         debug = self._debug
         bdpt_depth = self._bdpt_depth
+        if bdpt_depth is None:
+            # auto depth: scenes with specular dielectrics (glass) carry
+            # caustic transport through long specular chains that a
+            # 6-vertex cap visibly truncates; the reference's 1024 cap
+            # (``bd_path_trace.rs:7``) never bites there
+            import numpy as np_
+            m = scene.materials
+            kindv = np_.asarray(m["kind"])
+            from lumo_tpu.scene.materials import MF_DIELECTRIC
+            has_glass = bool(np_.any(
+                (kindv == MF_DIELECTRIC) & np_.asarray(m["is_specular"])))
+            bdpt_depth = 12 if has_glass else bdpt.MAX_VERTS
 
         def work(ray_ids, key, sample_base, shard_id, stats):
             N = ray_ids.shape[0]
@@ -293,8 +305,12 @@ class Renderer:
             total_rays += int(rays)
             if verbose and (b == 0 or (b + 1) % 8 == 0 or b == n_batches - 1):
                 el = time.time() - t0
+                # ETA from completed batches (reference's progress bar,
+                # ``renderer.rs:140-156``)
+                eta = el / (b + 1) * (n_batches - b - 1)
                 print(f"  batch {b + 1}/{n_batches}  "
-                      f"{total_rays / max(el, 1e-9) / 1e6:.2f} Mray/s", flush=True)
+                      f"{total_rays / max(el, 1e-9) / 1e6:.2f} Mray/s  "
+                      f"ETA {eta:.0f}s", flush=True)
         img = film_mod.finalize(film, self._filter, 1.0 / self._samples)
         if verbose:
             el = time.time() - t0

@@ -386,9 +386,16 @@ class SceneBuilder:
         bvh = None
         kdt = None
         if T >= BVH_THRESHOLD and accel == "bvh":
+            import time as _time
             from lumo_tpu.accel import build as accel_build
+            _t0 = _time.perf_counter()
             lo_t, hi_t = accel_build.triangle_bounds(tri["a"], tri["b"], tri["c"])
             bvh = accel_build.build(lo_t, hi_t)
+            _el = _time.perf_counter() - _t0
+            if _el > 0.05:
+                # build-phase timing (reference ``bvh.rs:234,312``)
+                print(f"BVH: {T} tris, {len(bvh.node_right)} nodes "
+                      f"in {_el:.2f}s", flush=True)
             order = bvh.order
             tri = {k: v[order] for k, v in tri.items()}
             tri_mat = tri_mat[order]
@@ -471,7 +478,14 @@ class SceneBuilder:
                 n_ana_lights += 1
         L = len(light_prims)
         if L > 0:
+            import time as _time
+            _t0 = _time.perf_counter()
             pdf, alias_p, alias_idx = _build_alias(np.asarray(powers, np.float64))
+            _el = _time.perf_counter() - _t0
+            if _el > 0.05:
+                # reference prints the alias-table build (``bvh.rs:186-190``)
+                print(f"light alias table: {len(powers)} lights in "
+                      f"{_el:.2f}s", flush=True)
         else:
             pdf = alias_p = np.zeros(0)
             alias_idx = np.zeros(0, np.int64)
@@ -503,12 +517,18 @@ class SceneBuilder:
                        "right": ju(bvh.node_right), "first": ju(bvh.node_first),
                        "count": ju(bvh.node_count), "axis": ju(bvh.node_axis)}
             from lumo_tpu.accel import pallas_bvh
+            import time as _time
+            _t0 = _time.perf_counter()
             blk = pallas_bvh.pack_blocks(
                 {"lo": bvh.node_lo, "hi": bvh.node_hi,
                  "right": bvh.node_right, "first": bvh.node_first,
                  "count": bvh.node_count, "axis": bvh.node_axis},
                 tri["a"], tri["b"], tri["c"])
             blk_dev = pallas_bvh.to_device(blk)
+            _el = _time.perf_counter() - _t0
+            if _el > 0.05:
+                print(f"BVH block pack: {blk['tri_blk'].shape[0]} blocks "
+                      f"(lblk {blk['lblk']}) in {_el:.2f}s", flush=True)
         kd_dev = None
         if kdt is not None:
             kd_dev = {"split": jf(kdt.split), "axis": ju(kdt.axis),

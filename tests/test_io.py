@@ -155,3 +155,20 @@ f 1 2 3
     assert np.all(np.asarray(m.k) > 0.0)
     # no image texture registered at all for the ORM map
     assert all(r.get("kind") != "image" for r in b.textures.rows)
+
+
+def test_texture_from_url(tmp_path):
+    """Standalone texture entry point (reference ``parser.rs:177-182``);
+    file:// exercises the same download+cache+decode path."""
+    from PIL import Image
+
+    from lumo_tpu.io import obj as obj_mod
+    from lumo_tpu.scene.scene import SceneBuilder
+
+    p = tmp_path / "tex.png"
+    Image.fromarray(np.full((4, 4, 3), 128, np.uint8)).save(p)
+    sb = SceneBuilder()
+    tid = obj_mod.texture_from_url(p.as_uri(), sb)
+    assert tid >= 0
+    packed = sb.textures.pack(np.float32)
+    assert packed is not None
