@@ -91,3 +91,22 @@ def test_stream_counts_all_samples():
     n = jax.jit(lambda a: path_trace.integrate_stream(
         scene, gen, fold, a, 300, N_SAMPLES))(jnp.zeros((), jnp.int32))
     assert int(n) == N_SAMPLES, int(n)
+
+
+def test_renderer_stream_mode_matches_batch():
+    from lumo_tpu.camera import cornell_camera
+    from lumo_tpu.renderer import Renderer
+    from lumo_tpu.scene.cornell import cornell_box
+
+    scene = cornell_box().build()
+    cam = cornell_camera(resolution=(16, 16))
+    # fixed delta so both modes run the identical estimator
+    img_b = Renderer(scene, cam).samples(8).seed(3).fixed_rr_delta(0.25) \
+        .render(verbose=False)
+    img_s = Renderer(scene, cam).samples(8).seed(3).fixed_rr_delta(0.25) \
+        .devices(1).stream().render(verbose=False)
+    assert np.isfinite(img_s).all()
+    # same samples, same counter RNG; differences are graph-fusion ulps
+    # plus rare discrete RR flips on firefly paths
+    close = np.isclose(img_s, img_b, rtol=1e-3, atol=1e-4)
+    assert close.mean() > 0.97, close.mean()
