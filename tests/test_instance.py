@@ -241,3 +241,41 @@ def test_instanced_light_renders():
 
     assert img_i.mean() > 1e-3
     np.testing.assert_allclose(img_i, img_b, rtol=1e-5, atol=1e-6)
+
+
+def test_many_instances_flattened_path():
+    """Groups with > 4 instances take the flattened single-traversal
+    path; the image must match the per-instance loop result (here: the
+    baked-geometry render)."""
+    from lumo_tpu.camera import build_camera
+    from lumo_tpu.renderer import Renderer
+
+    n_inst = 6
+    rng = np.random.default_rng(4)
+    ts, ms = [], []
+    for i in range(n_inst):
+        ts.append(translation(-1.2 + 0.45 * i, -0.3 + 0.1 * (i % 3), -1.6)
+                  @ rotate_y(0.5 * i) @ scale(0.35, 0.45, 0.35))
+        ms.append(Material.diffuse(tuple(rng.uniform(0.2, 0.9, 3))))
+    v, f, vn = shapes.blob(subdiv=2, seed=3, amp=0.15)
+
+    sb_i = SceneBuilder()
+    sb_i.add_sphere((0.0, 40.0, -1.0), 3.0, Material.light((1, 1, 1),
+                                                           scale=60.0))
+    Mesh(v, f, normals=vn).add_instances_to(sb_i, ts, ms)
+    s_inst = sb_i.build()
+    assert s_inst.inst and s_inst.inst[0]["minv"].shape[0] == n_inst
+
+    sb_b = SceneBuilder()
+    sb_b.add_sphere((0.0, 40.0, -1.0), 3.0, Material.light((1, 1, 1),
+                                                           scale=60.0))
+    for t, m in zip(ts, ms):
+        sb_b.add_triangles(v, f, m, normals=vn, vertex_normal_idx=f,
+                           transform=t)
+    s_bake = sb_b.build()
+
+    cam = build_camera(resolution=(16, 16))
+    img_i = Renderer(s_inst, cam).samples(4).seed(2).render(verbose=False)
+    img_b = Renderer(s_bake, cam).samples(4).seed(2).render(verbose=False)
+    assert np.isfinite(img_i).all()
+    np.testing.assert_allclose(img_i, img_b, rtol=2e-2, atol=2e-3)
