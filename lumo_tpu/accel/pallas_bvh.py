@@ -452,20 +452,28 @@ def _traverse_kernel(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
     t_out[...] = jnp.where(prim_out[...] >= 0, t_out[...], INF)
 
 
-def _pad_pack_rays(o, d, t_max, sub):
-    """(N, 3) rays → comp-major (8, NSUB, 128) + transposed (NP, R, 8).
+def _pad_pack_rays(o, d, t_max, perm, sub):
+    """(N, 3) rays → comp-major (8, NSUB, 128) + transposed (NP, R, 8),
+    permuted by ``perm`` with ONE row gather.
 
-    Both layouts index ray ``r = block*R + row*128 + lane`` identically;
-    padding lanes get d=0 and tmax=0 and the kernel marks them dead."""
+    XLA:TPU gathers read a full 128-lane padded tile per row regardless
+    of width, so permuting o/d/t_max separately costs 3 gathers where
+    one (N, 8) wide permute costs one (~2 ms each at 65k rays — the
+    wrapper was a third of the whole closest-hit call).  Both layouts
+    index ray ``r = block*R + row*128 + lane`` identically; padding
+    lanes get d=0 and tmax=0 and the kernel marks them dead."""
     N = o.shape[0]
     R = sub * 128
     NP = -(-N // R)
     pad = NP * R - N
-    comp = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-            t_max, jnp.zeros((N,), _F32)]
-    packed = jnp.stack([jnp.pad(c.astype(_F32), (0, pad)) for c in comp])
-    packed_t = packed.T.reshape(NP, R, 8)
-    return packed.reshape(8, NP * sub, 128), packed_t, N, NP
+    wide = jnp.stack([o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1],
+                      d[:, 2], t_max, jnp.zeros((N,), _F32)],
+                     axis=-1).astype(_F32)           # (N, 8)
+    wide = wide[perm]                                # one row gather
+    wide = jnp.pad(wide, ((0, pad), (0, 0)))
+    packed_t = wide.reshape(NP, R, 8)
+    packed = wide.T.reshape(8, NP * sub, 128)
+    return packed, packed_t, N, NP
 
 
 @functools.partial(jax.jit,
@@ -551,8 +559,7 @@ def _prep(blk, o, d, t_max, interpret, sub):
         # the container exposes the chip behind the 'axon' platform name
         interpret = jax.default_backend() in ("cpu", "gpu")
     perm = _sort_perm(blk, o, d, t_max)
-    packed, packed_t, n, NP = _pad_pack_rays(o[perm], d[perm], t_max[perm],
-                                             sub)
+    packed, packed_t, n, NP = _pad_pack_rays(o, d, t_max, perm, sub)
     scalars = {k: blk[k] for k in _SCALARS}
     return scalars, packed, packed_t, n, perm, interpret
 
@@ -566,9 +573,14 @@ def closest_hit(blk, o, d, t_min=0.0, t_max=INF, interpret=None, sub=SUB):
     t, prim = _run(scalars, blk["tri_blk"], packed, packed_t,
                    any_hit=False, lblk=blk["lblk"], interpret=interpret,
                    sub=sub)
-    t_out = jnp.zeros((n,), _F32).at[perm].set(t.reshape(-1)[:n])
-    p_out = jnp.zeros((n,), _I32).at[perm].set(prim.reshape(-1)[:n])
-    return t_out, p_out
+    # one wide (n, 2) row scatter instead of two narrow ones (same tile
+    # economics as the _pad_pack_rays gather); int32 carrier so no fp
+    # canonicalization can touch the bit patterns
+    both = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(t, _I32).reshape(-1, 1)[:n],
+         prim.reshape(-1, 1)[:n]], axis=1)
+    out = jnp.zeros((n, 2), _I32).at[perm].set(both)
+    return jax.lax.bitcast_convert_type(out[:, 0], _F32), out[:, 1]
 
 
 def any_hit(blk, o, d, t_min=0.0, t_max=INF, interpret=None, sub=SUB):
