@@ -84,10 +84,12 @@ def _closest(scene: SceneData, o, d, t_max):
             t_tri, p_tri = traverse.closest_hit(
                 scene.bvh, (scene.tri_a, scene.tri_b, scene.tri_c),
                 o_s, d_s, t_max=tm_s)
-        # differentiable t recompute against the chosen triangle
+        # differentiable t recompute against the chosen triangle (one
+        # wide (T, 9) gather — 3 narrow ones pay 3 tile reads per row)
         p_safe = jnp.clip(p_tri, 0, max(scene.n_tris - 1, 0))
-        a, b, c = (x[p_safe] for x in
-                   (scene.tri_a, scene.tri_b, scene.tri_c))
+        abc = jnp.concatenate([scene.tri_a, scene.tri_b, scene.tri_c],
+                              axis=1)[p_safe]
+        a, b, c = abc[:, 0:3], abc[:, 3:6], abc[:, 6:9]
         kz, shear = geo.ray_setup(d)
         t_re, _, _ = geo.triangle_t(o, kz, shear, a[:, None], b[:, None],
                                     c[:, None], 0.0, INF)
@@ -167,7 +169,9 @@ def _instanced_closest(scene: SceneData, o, d, t, prim):
         tg, pg = _group_tri_closest(grp, ol, dl,
                                     jax.lax.stop_gradient(t_cur))
         p_safe = jnp.clip(pg, 0, max(Tg - 1, 0))
-        a, b, c = (x[p_safe] for x in (grp["a"], grp["b"], grp["c"]))
+        abc = jnp.concatenate([grp["a"], grp["b"], grp["c"]],
+                              axis=1)[p_safe]
+        a, b, c = abc[:, 0:3], abc[:, 3:6], abc[:, 6:9]
         kz, shear = geo.ray_setup(dl)
         t_re, _, _ = geo.triangle_t(ol, kz, shear, a[:, None],
                                     b[:, None], c[:, None], 0.0, INF)
@@ -540,28 +544,35 @@ def _light_geom(scene: SceneData, light):
     is_tri = prim < T if T else jnp.zeros(light.shape, bool)
     is_ana = prim >= T + S if scene.n_ana_lights else jnp.zeros(light.shape, bool)
     is_sph = ~is_tri & ~is_ana
-    tidx = jnp.clip(prim, 0, max(T - 1, 0))
-    sidx = jnp.clip(prim - T, 0, max(S - 1, 0))
-    aidx = jnp.clip(prim - T - S, 0, max(scene.n_analytic - 1, 0))
     out = {"prim": prim, "is_tri": is_tri, "is_sph": is_sph, "is_ana": is_ana}
+    # Two-stage gather: first subset the scene tables to the L light
+    # prims (loop-invariant — XLA hoists it out of the bounce loop and
+    # CSEs it across the NEE calls), then index the small (L, ...)
+    # tables per lane.  Gathering per lane from the full (T, ...) tables
+    # paid a 128-lane tile read per row per table on a 327k-tri scene.
+    L = scene.light_prim.shape[0]
+    lp = scene.light_prim
     if T:
-        tri_tables = (scene.tri_a, scene.tri_b, scene.tri_c, scene.tri_na,
-                      scene.tri_nb, scene.tri_nc)
-        if T <= ops.ONEHOT_MAX_ROWS:
-            vals = ops.take_rows_many(list(tri_tables), tidx)
-        else:
-            vals = [a[tidx] for a in tri_tables]
-        out["a"], out["b"], out["c"], out["na"], out["nb"], out["nc"] = vals
-        out["mat_tri"] = scene.tri_mat[tidx]
+        tidx_l = jnp.clip(lp, 0, T - 1)
+        lw = jnp.concatenate(
+            [scene.tri_a, scene.tri_b, scene.tri_c, scene.tri_na,
+             scene.tri_nb, scene.tri_nc], axis=1)[tidx_l]     # (L, 18)
+        rows = ops.take_rows(lw, light)
+        (out["a"], out["b"], out["c"], out["na"], out["nb"],
+         out["nc"]) = (rows[:, 0:3], rows[:, 3:6], rows[:, 6:9],
+                       rows[:, 9:12], rows[:, 12:15], rows[:, 15:18])
+        out["mat_tri"] = scene.tri_mat[tidx_l][light]
     if S:
-        out["center"] = ops.take_rows(scene.sph_center, sidx)
-        out["radius"] = scene.sph_radius[sidx]
-        out["mat_sph"] = scene.sph_mat[sidx]
+        sidx_l = jnp.clip(lp - T, 0, S - 1)
+        out["center"] = ops.take_rows(scene.sph_center[sidx_l], light)
+        out["radius"] = scene.sph_radius[sidx_l][light]
+        out["mat_sph"] = scene.sph_mat[sidx_l][light]
     if scene.n_ana_lights:
-        out["ana_rot"] = scene.ana_rot[aidx]
-        out["ana_trans"] = scene.ana_trans[aidx]
-        out["ana_radius"] = scene.ana_radius[aidx]
-        out["mat_ana"] = scene.ana_mat[aidx]
+        aidx_l = jnp.clip(lp - T - S, 0, scene.n_analytic - 1)
+        out["ana_rot"] = scene.ana_rot[aidx_l][light]
+        out["ana_trans"] = scene.ana_trans[aidx_l][light]
+        out["ana_radius"] = scene.ana_radius[aidx_l][light]
+        out["mat_ana"] = scene.ana_mat[aidx_l][light]
     return out
 
 
