@@ -11,8 +11,9 @@ are reduced with ``psum`` collectives, which ride ICI inside a slice.
 (``renderer.py:_make_work``) and this module lifts it onto a mesh —
 single-device and sharded rendering execute the *same* function over the
 same counter-based randomness, so the sharded image is bit-identical to
-the single-device image for the path/direct integrators (BDPT folds the
-shard index into its key: deterministic per mesh shape).
+the single-device image for ALL integrators — path, direct, and BDPT
+alike derive every draw from the per-sample ``ray_key``, never from the
+shard index (``tests/test_parallel.py`` asserts single == sharded).
 """
 from __future__ import annotations
 

@@ -93,6 +93,58 @@ class SceneData:
     n_lights: int = dataclasses.field(metadata=dict(static=True))
     n_shadow_rays: int = dataclasses.field(metadata=dict(static=True))
 
+    def rebuild_light_alias(self) -> "SceneData":
+        """Recompute the light-selection pdf + Walker alias table from the
+        CURRENT material table (host-side, numpy).
+
+        ``build()`` bakes selection probabilities from the initial
+        emission; a user optimizing emission via ``dataclasses.replace``
+        keeps an unbiased estimator (``sample_light`` returns the pdf it
+        actually used) but samples lights with stale, variance-pessimal
+        probabilities.  Call this after changing ``ke`` / ``emit_scale``
+        / ``illum`` to re-match selection to power.  Not jit-traceable.
+        """
+        from lumo_tpu.color import dense as dense_mod
+        L = self.n_lights
+        if L == 0:
+            return self
+        m = {k: np.asarray(v) for k, v in self.materials.items()
+             if k in ("ke", "illum", "emit_scale", "two_sided", "kind")}
+        lam = 360.0 + 5.0 * np.arange(m["illum"].shape[1])
+        x = (lam[None, :] - 360.0) / 470.0
+        t = (m["ke"][:, 0:1] * x * x + m["ke"][:, 1:2] * x + m["ke"][:, 2:3])
+        ke = m["ke"][:, 3:4] * (0.5 + t / (2.0 * np.sqrt(1.0 + t * t)))
+        y = dense_mod.table("Y")
+        phi = (np.sum(ke * m["illum"] * y[None, :], axis=1)
+               * dense_mod.STEP / dense_mod.Y_INTEGRAL)
+        phi = phi * m["emit_scale"] * np.where(m["two_sided"], 2.0, 1.0)
+        phi = np.where(m["kind"] == LIGHT, phi, 0.0)
+
+        lp = np.asarray(self.light_prim)
+        T, S = self.n_tris, self.n_spheres
+        areas = np.zeros(L)
+        mats = np.zeros(L, np.int32)
+        for i, p in enumerate(lp):
+            if p < T:
+                a = np.asarray(self.tri_a[p])
+                b = np.asarray(self.tri_b[p])
+                c = np.asarray(self.tri_c[p])
+                areas[i] = 0.5 * np.linalg.norm(np.cross(b - a, c - a))
+                mats[i] = int(self.tri_mat[p])
+            elif p < T + S:
+                r = float(self.sph_radius[p - T])
+                areas[i] = 4.0 * np.pi * r * r
+                mats[i] = int(self.sph_mat[p - T])
+            else:
+                r = float(self.ana_radius[p - T - S])
+                areas[i] = np.pi * r * r
+                mats[i] = int(self.ana_mat[p - T - S])
+        pdf, accept, alias = _build_alias(areas * phi[mats])
+        jf = lambda a: jnp.asarray(a, np.asarray(self.light_pdf).dtype)
+        return dataclasses.replace(
+            self, light_pdf=jf(pdf), alias_p=jf(accept),
+            alias_idx=jnp.asarray(alias, jnp.int32))
+
 
 def _empty_tri_chunk():
     return {

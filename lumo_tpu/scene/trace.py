@@ -523,7 +523,16 @@ def emitted(scene: SceneData, mat, lam, uv, backface):
 
 def sample_light(scene: SceneData, u):
     """O(1) alias-table lookup: uniform u (N,) → (light_idx, pdf)
-    (reference ``bvh.rs:67-77``)."""
+    (reference ``bvh.rs:67-77``).
+
+    The selection probabilities (``light_pdf`` / alias rows) are baked
+    host-side at ``build()`` from the INITIAL emission powers.  A user
+    who swaps materials afterwards (``dataclasses.replace(scene,
+    materials=...)``, e.g. while optimizing emission) still gets an
+    unbiased estimator — the returned pdf is exactly the probability
+    used — but the light-selection variance no longer tracks the new
+    powers; rebuild the scene (or ``scene.rebuild_light_alias()``) when
+    emission changes materially."""
     L = scene.n_lights
     x = u * L
     idx = jnp.clip(x.astype(jnp.int32), 0, L - 1)

@@ -47,64 +47,150 @@ def test_bdpt_runs_finite(scene, camera):
     assert float(jnp.where(sm[..., None], sc, 0.0).sum()) > 0.0
 
 
-def test_mis_weights_sum_to_one(scene, camera):
+def _mis_sum_check(scene, camera, key, n, K):
+    """Σ strategy MIS weights over camera paths of joined length K.
+
+    Vectorized port of reference ``mis_tests.rs:103-157``: strategies
+    with t==1 and s<2 are excluded (not implemented there either), and —
+    per path — strategies whose connection endpoint lp[s] or lp[s-1] is
+    a delta vertex are skipped (``mis_tests.rs:124-126``): they cannot
+    be sampled, their pdf is 0 in every other strategy's sweep, and the
+    remaining weights must still sum to 1.
+
+    Returns (total (n,), mask (n,), n_delta_lanes, n_medium_lanes).
+    """
+    o, d, lam = _camera_rays(camera, key, n)
+    from lumo_tpu.integrators import path_trace
+    rng0 = path_trace.ray_keys(jax.random.fold_in(key, 2), n)
+
+    def compute(o, d, lam, rng0):
+        cp, lam2 = bdpt._camera_path(scene, camera, o, d, lam, rng0,
+                                     1.0, K + 1)
+        lam_ = lam2
+        n_valid = jnp.sum(cp["valid"], axis=1)
+        last = cp["light"][:, K - 1] >= 0
+        mask = (n_valid == K) & last
+
+        # light-ordered view of the same path: reverse, swap pdf roles,
+        # recompute wo, patch the two light-end origin pdfs
+        lpv = {}
+        rev = list(reversed(range(K)))
+        for k in bdpt._VKEYS:
+            lpv[k] = cp[k][:, rev]
+        lpv["pdf_fwd"], lpv["pdf_bck"] = lpv["pdf_bck"], lpv["pdf_fwd"]
+        wo = jnp.zeros_like(lpv["p"])
+        for i in range(1, K):
+            wo = wo.at[:, i].set(normalize(
+                lpv["p"][:, i - 1] - lpv["p"][:, i], eps=1e-30))
+        lpv["wo"] = wo
+        l0 = {k: lpv[k][:, 0] for k in bdpt._VKEYS}
+        l1 = {k: lpv[k][:, 1] for k in bdpt._VKEYS}
+        lpv["pdf_fwd"] = lpv["pdf_fwd"].at[:, 0].set(
+            bdpt._pdf_light_origin(scene, l0))
+        lpv["pdf_fwd"] = lpv["pdf_fwd"].at[:, 1].set(
+            bdpt._pdf_light_leaving(scene, l0, l1))
+
+        delta_lo = lpv["delta"]          # (n, K) light-order delta flags
+        total = jnp.zeros((n,), jnp.float32)
+        for s in range(0, K):
+            t = K - s
+            if t == 1 and s < 2:
+                continue
+            if s == 0:
+                w = bdpt._mis_weight(scene, camera, lam_, None, cp,
+                                     0, t, 0, K)
+            elif s == 1:
+                w = bdpt._mis_weight(scene, camera, lam_,
+                                     bdpt._single_path(l0), cp, 1, t, 1, K)
+            elif t == 1:
+                cam_root = {k: cp[k][:, 0] for k in bdpt._VKEYS}
+                w = bdpt._mis_weight(scene, camera, lam_, lpv,
+                                     bdpt._single_path(cam_root), s, 1, K, 1)
+            else:
+                w = bdpt._mis_weight(scene, camera, lam_, lpv, cp,
+                                     s, t, K, K)
+            # per-lane reference skip: delta connection endpoints
+            adm = ~delta_lo[:, s]
+            if s > 0:
+                adm = adm & ~delta_lo[:, s - 1]
+            total = total + jnp.where(adm, w, 0.0)
+
+        interior = cp["valid"][:, 1:K - 1]
+        has_delta = mask & jnp.any(cp["delta"][:, 1:K - 1] & interior, axis=1)
+        has_medium = mask & jnp.any(cp["medium"][:, 1:K - 1] & interior,
+                                    axis=1)
+        return total, mask, jnp.sum(has_delta), jnp.sum(has_medium)
+
+    return jax.jit(compute)(o, d, lam, rng0)
+
+
+def _empty_box_scene():
+    """reference ``mis_tests.rs:13-19``: empty box, diffuse red left,
+    lambertian green right."""
+    from lumo_tpu.scene.cornell import empty_box
+    from lumo_tpu.scene.materials import Material
+    return empty_box((0.9, 0.9, 0.9), Material.diffuse((0.8, 0.1, 0.1)),
+                     Material.lambertian((0.1, 0.8, 0.1)))
+
+
+def _default_camera(kind=None):
+    from lumo_tpu import camera as cam_mod
+    kw = {"resolution": (32, 32)}
+    if kind is not None:
+        kw["kind"] = kind
+    return cam_mod.build_camera(**kw)
+
+
+def _mis_variant(name):
+    """The reference's 6 MIS sum-to-1 scene variants
+    (``mis_tests.rs:21-99``)."""
+    from lumo_tpu import camera as cam_mod
+    from lumo_tpu.scene.materials import Material
+    if name == "diffuse":
+        return _empty_box_scene().build(), _default_camera()
+    if name == "orthographic":
+        return (_empty_box_scene().build(),
+                _default_camera(kind=cam_mod.ORTHOGRAPHIC))
+    if name == "medium":
+        sb = _empty_box_scene()
+        sb.set_medium((0.002, 0.003, 0.0001), (0.175, 0.125, 0.11), 0.9)
+        return sb.build(), _default_camera()
+    if name == "specular_delta":
+        sb = _empty_box_scene()
+        sb.add_sphere((-0.45, -0.5, -1.5), 0.25, Material.mirror())
+        sb.add_sphere((0.45, -0.5, -1.3), 0.25, Material.glass())
+        return sb.build(), _default_camera()
+    if name == "specular_rough":
+        sb = _empty_box_scene()
+        sb.add_sphere((-0.45, -0.5, -1.5), 0.25,
+                      Material.metal((0.9, 0.9, 0.9), 0.5, 1.5, 1.5))
+        sb.add_sphere((0.45, -0.5, -1.3), 0.25,
+                      Material.transparent((0.9, 0.9, 0.9), 0.5, 1.5))
+        return sb.build(), _default_camera()
+    if name == "big_scale":
+        return cornell_box().build(), cornell_camera(resolution=(512, 512))
+    raise ValueError(name)
+
+
+@pytest.mark.parametrize("variant", ["diffuse", "orthographic", "medium",
+                                     "specular_delta", "specular_rough",
+                                     "big_scale"])
+def test_mis_weights_sum_to_one(variant):
     """For every camera path that ends on a light, the MIS weights of all
-    implemented (s, t) decompositions must sum to 1
-    (reference ``mis_tests.rs:103-157``; strategies with t==1 and s<2 are
-    not implemented and excluded there too, ``mis_tests.rs:122``)."""
+    implemented (s, t) decompositions must sum to 1, on each of the
+    reference's 6 scene variants (``mis_tests.rs:21-99``)."""
+    scene, camera = _mis_variant(variant)
     key = jax.random.PRNGKey(3)
     n = 16384
-    o, d, lam = _camera_rays(camera, key, n)
-    K = 4   # analyzed joined path length (no deltas in the Cornell box)
-    from lumo_tpu.integrators import path_trace
-    cp, lam2 = bdpt._camera_path(scene, camera, o, d, lam,
-                                 path_trace.ray_keys(
-                                     jax.random.fold_in(key, 2), n),
-                                 1.0, K + 1)
-    lam = lam2
-
-    n_valid = jnp.sum(cp["valid"], axis=1)
-    last = cp["light"][:, K - 1] >= 0
-    mask = (n_valid == K) & last
+    K = 4
+    total, mask, n_delta, n_medium = _mis_sum_check(scene, camera, key, n, K)
     # the identity is exact per path — a handful of lanes suffices
     assert int(mask.sum()) > 10, int(mask.sum())
-
-    # light-ordered view of the same path: reverse, swap pdf roles,
-    # recompute wo, patch the two light-end origin pdfs
-    lpv = {}
-    rev = list(reversed(range(K)))
-    for k in bdpt._VKEYS:
-        lpv[k] = cp[k][:, rev]
-    lpv["pdf_fwd"], lpv["pdf_bck"] = lpv["pdf_bck"], lpv["pdf_fwd"]
-    wo = jnp.zeros_like(lpv["p"])
-    for i in range(1, K):
-        wo = wo.at[:, i].set(normalize(lpv["p"][:, i - 1] - lpv["p"][:, i],
-                                       eps=1e-30))
-    lpv["wo"] = wo
-    l0 = {k: lpv[k][:, 0] for k in bdpt._VKEYS}
-    l1 = {k: lpv[k][:, 1] for k in bdpt._VKEYS}
-    lpv["pdf_fwd"] = lpv["pdf_fwd"].at[:, 0].set(
-        bdpt._pdf_light_origin(scene, l0))
-    lpv["pdf_fwd"] = lpv["pdf_fwd"].at[:, 1].set(
-        bdpt._pdf_light_leaving(scene, l0, l1))
-
-    total = jnp.zeros((n,), jnp.float32)
-    for s in range(0, K):
-        t = K - s
-        if t == 1 and s < 2:
-            continue
-        if s == 0:
-            w = bdpt._mis_weight(scene, camera, lam, None, cp, 0, t, 0, K)
-        elif s == 1:
-            w = bdpt._mis_weight(scene, camera, lam,
-                                 bdpt._single_path(l0), cp, 1, t, 1, K)
-        elif t == 1:
-            cam_root = {k: cp[k][:, 0] for k in bdpt._VKEYS}
-            w = bdpt._mis_weight(scene, camera, lam, lpv,
-                                 bdpt._single_path(cam_root), s, 1, K, 1)
-        else:
-            w = bdpt._mis_weight(scene, camera, lam, lpv, cp, s, t, K, K)
-        total = total + w
+    if variant == "specular_delta":
+        # the arm under test must actually be exercised
+        assert int(n_delta) > 0, "no masked lane crossed a delta vertex"
+    if variant == "medium":
+        assert int(n_medium) > 0, "no masked lane scattered in the medium"
 
     err = jnp.abs(jnp.where(mask, total, 1.0) - 1.0)
     frac_bad = float((err > 0.01).mean()) / max(float(mask.mean()), 1e-9)

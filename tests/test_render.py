@@ -107,3 +107,30 @@ def test_gradients_finite_and_match_fd(scene):
     dn["kd"] = jnp.asarray(kd).at[ij].add(-eps)
     fd = (float(lfn(up)) - float(lfn(dn))) / (2 * eps)
     assert fd == pytest.approx(float(gkd[ij]), rel=0.08), (fd, float(gkd[ij]))
+
+
+def test_rebuild_light_alias(scene):
+    """Alias-table refresh after emission edits (VERDICT r4 hygiene):
+    unchanged materials reproduce the baked pdf; doubling one light's
+    emit_scale re-weights selection toward it."""
+    import dataclasses
+    s2 = scene.rebuild_light_alias()
+    np.testing.assert_allclose(np.asarray(s2.light_pdf),
+                               np.asarray(scene.light_pdf), rtol=1e-5)
+
+    # boost one light material's emission 4x: its prims' share must rise
+    mats = dict(scene.materials)
+    es = np.asarray(mats["emit_scale"]).copy()
+    lm = np.asarray(scene.tri_mat)[np.asarray(scene.light_prim)[0]]
+    es[lm] *= 4.0
+    mats["emit_scale"] = jnp.asarray(es)
+    s3 = dataclasses.replace(scene, materials=mats).rebuild_light_alias()
+    old = np.asarray(scene.light_pdf)
+    new = np.asarray(s3.light_pdf)
+    boosted = np.asarray(scene.tri_mat)[
+        np.asarray(scene.light_prim)] == lm
+    if boosted.all():
+        np.testing.assert_allclose(new, old, rtol=1e-5)  # renormalizes away
+    else:
+        assert new[boosted].sum() > old[boosted].sum()
+    np.testing.assert_allclose(new.sum(), 1.0, rtol=1e-5)
