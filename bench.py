@@ -280,9 +280,13 @@ def bench_smoke():
 
 def bench_quality():
     """f64-CPU-reference allclose + FD pixel-grad harness (VERDICT r2
-    task 4; BASELINE quality metric).  Forces the CPU backend itself."""
+    task 4; BASELINE quality metric).  Forces the CPU backend itself.
+    The ``bvh`` block carries the accelerated/instanced/textured scene's
+    f64 allclose + gradient probe (VERDICT r4 task 5)."""
     from tools import quality
-    return quality.run(res=64, spp=4)
+    out = quality.run(res=64, spp=4)
+    out["bvh"] = quality.run_bvh()
+    return out
 
 
 SUBS = {

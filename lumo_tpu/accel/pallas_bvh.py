@@ -36,6 +36,7 @@ import numpy as np
 from lumo_tpu.config import INF
 
 LBLK = 256      # triangles per leaf block (= one lane row)
+MAX_LBLK = 1024  # doubling cap (VMEM leaf-row temporaries ~5 MB here)
 BLK_ROWS = 16   # f32 sublane padding: rows 0-8 = ax..cz, rest unused
 STACK = 64      # same bound as the reference walk (``bvh.rs:324``)
 SUB = 8         # ray sublane rows per packet → R = SUB * 128 rays
@@ -142,21 +143,23 @@ def pack_blocks(bvh, tri_a, tri_b, tri_c, lblk=LBLK):
                 stack.append((int(node_right[orig]), slot, depth + 1))
                 stack.append((orig + 1, -1, depth + 1))
 
-        # lblk caps at 256: the kernel's leaf test materializes a few
-        # (R, lblk) f32 temporaries and the scoped-VMEM budget is 16MB —
-        # lblk=512 already risks OOM at R=1024.  256-tri blocks with
-        # MAX_NODES_SMEM interior nodes cover ~2M triangles.
-        if len(out["right"]) <= MAX_NODES_SMEM or lblk >= 256:
+        # The leaf test materializes its temporaries per 128-ray ROW
+        # ((128, lblk) f32, ~10 of them — 5 MB at lblk=1024), not per
+        # packet, so lblk can double to 1024 before the 16 MB scoped-VMEM
+        # budget bites: 1024-tri blocks with MAX_NODES_SMEM interior
+        # nodes cover ~16M triangles (VERDICT r4 task 2 lifted the old
+        # 256 cap that stranded bistro-class scenes at ~2M).
+        if len(out["right"]) <= MAX_NODES_SMEM or lblk >= MAX_LBLK:
             break
         lblk *= 2
 
     # oversized original leaves (shouldn't happen with leaf-4 builders)
     assert max(len(ids) for ids in blocks) <= lblk
     assert len(tri_a) < (1 << 24), "prim ids stored as exact f32"
-    # the lblk doubling loop caps at 256 (VMEM budget), so very large
-    # meshes can exit with an oversized table or a too-deep collapsed
-    # tree; fail loudly rather than letting the kernel silently drop
-    # stack pushes (missed intersections) or fail downstream at compile
+    # the lblk doubling loop caps at MAX_LBLK (VMEM budget), so meshes
+    # beyond ~16M tris can exit with an oversized table or a too-deep
+    # collapsed tree; fail loudly rather than letting the kernel silently
+    # drop stack pushes (missed intersections) or fail at compile
     if len(out["right"]) > MAX_NODES_SMEM:
         raise ValueError(
             f"collapsed BVH has {len(out['right'])} nodes > "
@@ -265,7 +268,7 @@ def _pairwise_tri_t(ox, oy, oz, kz, sx, sy, sz, tri, t_min, t_max):
 def _traverse_kernel(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
                      n_right, n_first, n_count, n_axis, n_blk,
                      rays, rays_t, tri_hbm, t_out, prim_out,
-                     blk_buf, stack, tbest, sem, *, lblk, any_hit, sub):
+                     *rest, lblk, any_hit, sub, stats=False):
     """One packet: R = sub*128 rays, scalar SMEM stack, leaf DMA.
 
     Mosaic cannot freely relayout (sub, 128) <-> (R, 1) vectors, so the
@@ -281,6 +284,12 @@ def _traverse_kernel(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
     tree (measured 3731 visited nodes/packet vs 58 with per-ray t)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if stats:
+        stat_out, blk_buf, stack, tbest, sem = rest
+    else:
+        stat_out = None
+        blk_buf, stack, tbest, sem = rest
 
     R = sub * 128
     t_min = _F32(0.0)
@@ -382,14 +391,14 @@ def _traverse_kernel(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
                         tbest[r:r + 1, :], tb_row)
 
     def cond(carry):
-        sp, ndone, pend, cur = carry
+        sp, ndone, pend, cur, n_int, n_leaf = carry
         live = sp > 0
         if any_hit:
             live &= ndone < R
         return live
 
     def body(carry):
-        sp, ndone, pend, cur = carry
+        sp, ndone, pend, cur, n_int, n_leaf = carry
         node = stack[sp - 1]
         want = slab_want(node)
         hit_any = jnp.any(want)
@@ -435,10 +444,16 @@ def _traverse_kernel(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
         if any_hit:
             ndone = jnp.sum((prim_out[...] >= 0).astype(_I32)) \
                 + jnp.sum(dead_c.astype(_I32))
-        return sp, ndone, pend, cur
+        n_int = n_int + jnp.where(hit_any & ~is_leaf, 1, 0)
+        n_leaf = n_leaf + jnp.where(leaf_hit, 1, 0)
+        return sp, ndone, pend, cur, n_int, n_leaf
 
-    _, _, pend, cur = jax.lax.while_loop(
-        cond, body, (_I32(1), _I32(0), _I32(-1), _I32(0)))
+    _, _, pend, cur, n_int, n_leaf = jax.lax.while_loop(
+        cond, body, (_I32(1), _I32(0), _I32(-1), _I32(0), _I32(0),
+                     _I32(0)))
+    if stats:
+        stat_out[0, 0] = n_int
+        stat_out[0, 1] = n_leaf
 
     # drain the last pending leaf
     @pl.when(pend >= 0)
@@ -477,9 +492,10 @@ def _pad_pack_rays(o, d, t_max, perm, sub):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("any_hit", "interpret", "sub", "lblk"))
+                   static_argnames=("any_hit", "interpret", "sub", "lblk",
+                                    "stats"))
 def _run(scalars, tri_blk, packed, packed_t, *, any_hit, lblk,
-         interpret=False, sub=SUB):
+         interpret=False, sub=SUB, stats=False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -487,9 +503,22 @@ def _run(scalars, tri_blk, packed, packed_t, *, any_hit, lblk,
     NP = nsub // sub
     R = sub * 128
     kern = functools.partial(_traverse_kernel, lblk=lblk,
-                             any_hit=any_hit, sub=sub)
+                             any_hit=any_hit, sub=sub, stats=stats)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    t, prim = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((NP * R, 1), _F32),
+        jax.ShapeDtypeStruct((NP * R, 1), _I32),
+    ]
+    if stats:
+        # per-packet (interior visits, leaf visits) counters
+        out_specs.append(pl.BlockSpec((1, 2), lambda i: (i, 0),
+                                      memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((NP, 2), _I32))
+    out = pl.pallas_call(
         kern,
         grid=(NP,),
         in_specs=[smem_spec] * len(_SCALARS) + [
@@ -499,16 +528,8 @@ def _run(scalars, tri_blk, packed, packed_t, *, any_hit, lblk,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[
-            pl.BlockSpec((R, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((NP * R, 1), _F32),
-            jax.ShapeDtypeStruct((NP * R, 1), _I32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, BLK_ROWS, lblk), _F32),   # double-buffered leaf
             pltpu.SMEM((STACK,), _I32),
@@ -517,7 +538,7 @@ def _run(scalars, tri_blk, packed, packed_t, *, any_hit, lblk,
         ],
         interpret=interpret,
     )(*[scalars[k] for k in _SCALARS], packed, packed_t, tri_blk)
-    return t, prim
+    return out if stats else (out[0], out[1])
 
 
 def _sort_perm(blk, o, d, t_max):
@@ -581,6 +602,23 @@ def closest_hit(blk, o, d, t_min=0.0, t_max=INF, interpret=None, sub=SUB):
          prim.reshape(-1, 1)[:n]], axis=1)
     out = jnp.zeros((n, 2), _I32).at[perm].set(both)
     return jax.lax.bitcast_convert_type(out[:, 0], _F32), out[:, 1]
+
+
+def closest_hit_stats(blk, o, d, t_min=0.0, t_max=INF, interpret=None,
+                      sub=SUB):
+    """closest_hit + per-packet (interior visits, leaf visits) counters —
+    divergence evidence for the packet design (VERDICT r4 task 1).
+    Returns (t (N,), prim (N,), stats (NP, 2) int32)."""
+    scalars, packed, packed_t, n, perm, interpret = _prep(
+        blk, o, d, t_max, interpret, sub)
+    t, prim, st = _run(scalars, blk["tri_blk"], packed, packed_t,
+                       any_hit=False, lblk=blk["lblk"], interpret=interpret,
+                       sub=sub, stats=True)
+    both = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(t, _I32).reshape(-1, 1)[:n],
+         prim.reshape(-1, 1)[:n]], axis=1)
+    out = jnp.zeros((n, 2), _I32).at[perm].set(both)
+    return (jax.lax.bitcast_convert_type(out[:, 0], _F32), out[:, 1], st)
 
 
 def any_hit(blk, o, d, t_min=0.0, t_max=INF, interpret=None, sub=SUB):

@@ -138,7 +138,12 @@ def bounce(scene, s, delta):
     rr_div = jnp.where(do_rr & alive, jnp.maximum(rr_prob, _TINY), 1.0)
     gathered = gathered / jax.lax.stop_gradient(rr_div)[..., None]
 
-    out = {
+    out = {}
+    if "prim" in s:
+        # opt-in discrete-topology trace (quality harness): the prim id
+        # each live lane hit this bounce, -1 for dead/missed lanes
+        out["prim"] = jnp.where(s["alive"] & hit["valid"], hit["prim"], -1)
+    out |= {
         "o": jnp.where(alive[..., None], ro, s["o"]),
         "d": jnp.where(alive[..., None], wi, s["d"]),
         "lam": jnp.where(alive[..., None], lam2, lam),
@@ -159,7 +164,8 @@ def bounce(scene, s, delta):
 
 
 def integrate(scene, o, d, lam, key=None, delta=1.0, max_depth=MAX_DEPTH,
-              fixed_depth=None, ray_key=None, remat_policy=None):
+              fixed_depth=None, ray_key=None, remat_policy=None,
+              trace_prims=False):
     """Trace a wavefront of N camera rays to completion.
 
     o, d: (N, 3); lam: (N, 4) hero wavelengths; delta: RR threshold.
@@ -171,7 +177,11 @@ def integrate(scene, o, d, lam, key=None, delta=1.0, max_depth=MAX_DEPTH,
     randomness is a pure hash of these, so results are independent of
     lane placement (sharded == single-device, bit-exact).  Derived from
     ``key`` when not given.
-    Returns (radiance (N, 4), lam_out (N, 4), depth (N,)).
+    Returns (radiance (N, 4), lam_out (N, 4), depth (N,)); with
+    ``trace_prims=True`` (requires ``fixed_depth``) additionally the
+    per-bounce hit-prim ids (fixed_depth, N) — the discrete path
+    topology, used by the f32-vs-f64 quality harness to exclude rays
+    whose bounce geometry flips between precisions.
     """
     N = o.shape[0]
     dt = o.dtype
@@ -188,6 +198,9 @@ def integrate(scene, o, d, lam, key=None, delta=1.0, max_depth=MAX_DEPTH,
         "bounce": jnp.zeros((), jnp.int32),
         "rng": jnp.asarray(ray_key, jnp.uint32),
     }
+    if trace_prims:
+        assert fixed_depth is not None, "trace_prims needs fixed_depth"
+        state["prim"] = jnp.full((N,), -1, jnp.int32)
 
     def cond(s):
         return jnp.any(s["alive"]) & (s["bounce"] < max_depth)
@@ -208,8 +221,12 @@ def integrate(scene, o, d, lam, key=None, delta=1.0, max_depth=MAX_DEPTH,
         if remat_policy is None:
             remat_policy = jax.checkpoint_policies.save_only_these_names("geom")
         body_ckpt = jax.checkpoint(body, policy=remat_policy)
-        out, _ = jax.lax.scan(lambda s, _: (body_ckpt(s), None), state, None,
-                              length=fixed_depth)
+        out, prims = jax.lax.scan(
+            lambda s, _: ((s2 := body_ckpt(s)),
+                          s2["prim"] if trace_prims else None),
+            state, None, length=fixed_depth)
+        if trace_prims:
+            return out["radiance"], out["lam"], out["depth"], prims
     return out["radiance"], out["lam"], out["depth"]
 
 

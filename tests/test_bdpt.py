@@ -198,6 +198,7 @@ def test_mis_weights_sum_to_one(variant):
     assert frac_bad < 0.05, (frac_bad, float(err.max()))
 
 
+@pytest.mark.slow
 def test_bdpt_converges_to_path_trace(scene):
     """Same scene, both integrators, full renders: agreement within the
     monte-carlo noise floor (the reference has no golden images; PT↔BDPT
@@ -215,6 +216,7 @@ def test_bdpt_converges_to_path_trace(scene):
     assert abs(bd.mean() - pt.mean()) / pt.mean() < 0.2
 
 
+@pytest.mark.slow
 def test_bdpt_depth_configurable(scene, camera):
     """max_verts is a runtime-configurable compile constant (VERDICT r1
     item 6); deeper subpaths must not change the Cornell estimate beyond
@@ -236,6 +238,7 @@ def test_bdpt_depth_configurable(scene, camera):
     assert means[10] == pytest.approx(means[6], rel=0.05), means
 
 
+@pytest.mark.slow
 def test_bdpt_gradients_match_fd(scene, camera):
     """Pixel gradients flow through the full BDPT estimator (camera +
     light subpaths, MIS sweep, splats) and match finite differences on

@@ -65,3 +65,6 @@ def test_renderer_auto_bdpt_depth(caustic_scene):
     # tiny spp not raising and the private default resolving)
     img = r.samples(4).render(verbose=False)
     assert np.isfinite(img).all()
+
+
+pytestmark = pytest.mark.slow  # statistical, >60s each

@@ -325,3 +325,6 @@ def _inv_pdf_case(mat):
     bin_area = (1.0 / CT_BINS) * (2 * np.pi / PH_BINS)
     # every bin of the upper hemisphere is covered by these BSDFs
     np.testing.assert_allclose(acc, bin_area, rtol=0.15)
+
+
+pytestmark = pytest.mark.slow  # statistical, >60s each

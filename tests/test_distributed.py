@@ -9,6 +9,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 
 def _free_port():
@@ -19,6 +20,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_render_matches_single():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(root, "tests", "_distributed_worker.py")

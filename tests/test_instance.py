@@ -113,6 +113,7 @@ def test_instanced_occlusion():
     assert not np.asarray(occ2).any()
 
 
+@pytest.mark.slow
 def test_instanced_grads_flow():
     """Material gradients flow through a render of an instanced scene."""
     from lumo_tpu.color import wavelength
@@ -243,6 +244,7 @@ def test_instanced_light_renders():
     np.testing.assert_allclose(img_i, img_b, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_many_instances_flattened_path():
     """Groups with > 4 instances take the flattened single-traversal
     path; the image must match the per-instance loop result (here: the

@@ -84,6 +84,7 @@ def test_oversized_scene_grows_blocks():
     assert blk["tri_blk"].shape[-1] == blk["lblk"]
 
 
+@pytest.mark.slow
 def test_grad_through_accelerated_scene():
     """Reverse mode works through a BVH scene: traversal is stop-gradded,
     hit t re-derived differentiably (trace._closest)."""

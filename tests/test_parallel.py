@@ -79,6 +79,7 @@ def test_renderer_sharded_image_matches_single(integrator):
     np.testing.assert_allclose(img8, img1, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_renderer_sharded_bdpt_matches_single():
     """BDPT now draws everything from the per-ray counter streams, so the
     8-device image is the 1-device image exactly (splat psums only

@@ -11,13 +11,21 @@ import os
 import subprocess
 import sys
 
+import pytest
 
-def test_f64_reference_allclose_and_fd_grad():
+
+@pytest.mark.parametrize("res,spp", [
+    (24, 2),
+    # the driver-bench configuration (VERDICT r4 task 3: the test must
+    # assert at the bench resolution, not just 24²)
+    pytest.param(64, 4, marks=pytest.mark.slow),
+])
+def test_f64_reference_allclose_and_fd_grad(res, spp):
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     p = subprocess.run(
         [sys.executable, os.path.join(root, "tools", "quality.py"),
-         "24", "2"],
-        capture_output=True, text=True, timeout=1200, cwd=root)
+         str(res), str(spp)],
+        capture_output=True, text=True, timeout=1800, cwd=root)
     assert p.returncode == 0, p.stderr[-2000:]
     out = json.loads(p.stdout.strip().splitlines()[-1])
 
@@ -26,6 +34,12 @@ def test_f64_reference_allclose_and_fd_grad():
     assert out["bin_rel_err_p999"] < 5e-2
     # discrete silhouette flips must stay rare (coplanar light/ceiling)
     assert out["flipped_rays"] <= max(2, out["rays"] // 100)
+    # second-order (bounce-topology) flips: mostly secondary rays
+    # landing on the Cornell light quad, which is exactly coplanar with
+    # the ceiling (cornell_box.rs:51-54) — a genuine t-tie whose winner
+    # is precision-dependent.  The exclusion must not become a fig leaf:
+    # the gradient comparison still has to cover >80% of rays.
+    assert out["grad_flipped_rays"] <= out["rays"] // 5
     # reverse-mode AD must match finite differences on the f64 estimator
     assert out["grad_ad_vs_fd_rel_err"] < 1e-6
     # f32 production gradients vs the f64 reference
@@ -37,3 +51,5 @@ def test_f64_reference_allclose_and_fd_grad():
     assert bvh["bin_rel_err_mean"] < 1e-3
     assert bvh["bin_rel_err_p999"] < 5e-2
     assert bvh["flipped_rays"] <= max(2, bvh["rays"] // 100)
+    assert bvh["grad_ad_vs_fd_rel_err"] < 1e-6
+    assert bvh["grad_f32_vs_ref_rel_err"] < 1e-2

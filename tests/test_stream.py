@@ -9,6 +9,7 @@ near-equality for ~all samples and a tiny bounded flip rate."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lumo_tpu.camera import cornell_camera
 from lumo_tpu.color import wavelength
@@ -36,6 +37,7 @@ def _sample_inputs(scene, camera, idx):
     return o, d, lam, rng, pix
 
 
+@pytest.mark.slow
 def test_stream_matches_batch_bitexact():
     scene = cornell_box().build()
     camera = cornell_camera(resolution=(RES, RES))

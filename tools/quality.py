@@ -35,13 +35,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _render(dtype, res, spp, theta, scale_key, grad_mode=False, mask=None):
-    """Cornell res²@spp; returns (radiance (N,4), loss).
+def _render(dtype, res, spp, theta, scale_key, grad_mode=False, mask=None,
+            want_prims=False):
+    """Cornell res²@spp; returns (radiance (N,4), loss[, prims]).
 
     ``grad_mode=False``: direct-light (BASELINE config 1, matches the
     reference's while-style recursion — forward only).  ``grad_mode=True``:
     the differentiable fixed-depth path tracer (the production fwd+bwd
-    path, same as bench.py)."""
+    path, same as bench.py).  ``want_prims`` (grad_mode only) returns the
+    (spp, depth, N) per-bounce hit-prim ids — the discrete path topology."""
     from lumo_tpu import film as film_mod
     from lumo_tpu.color import wavelength
     from lumo_tpu.integrators import direct_light, path_trace
@@ -72,26 +74,35 @@ def _render(dtype, res, spp, theta, scale_key, grad_mode=False, mask=None):
         lam = wavelength.sample(lam_u)
         rk = (pix * jnp.uint32(2654435761)) ^ sp
         if grad_mode:
-            r, lam_out, _ = path_trace.integrate(sc, o, d, lam,
-                                                 ray_key=rk, fixed_depth=2)
+            out = path_trace.integrate(sc, o, d, lam, ray_key=rk,
+                                       fixed_depth=2,
+                                       trace_prims=want_prims)
+            r, lam_out = out[0], out[1]
+            prims = out[3] if want_prims else None
         else:
             r, lam_out, _ = direct_light.integrate(sc, o, d, lam,
                                                    ray_key=rk)
-        return r, film_mod.spectral_to_rgb(r, lam_out, wbm)
+            prims = None
+        return r, film_mod.spectral_to_rgb(r, lam_out, wbm), prims
 
     theta = jnp.asarray(theta, dtype)
     rad = jnp.zeros((n, 4), dtype)
     rgb = jnp.zeros((n, 3), dtype)
+    prim_seq = []
     for s in range(spp):
-        r, g = one_spp(theta, jnp.uint32((0x9E3779B9 * (s + 1))
-                                         & 0xFFFFFFFF))
+        r, g, pr = one_spp(theta, jnp.uint32((0x9E3779B9 * (s + 1))
+                                             & 0xFFFFFFFF))
         rad = rad + r
         rgb = rgb + g
+        if want_prims:
+            prim_seq.append(np.asarray(pr))
     rad = rad / spp
     rgb = rgb / spp
     if mask is not None:
         rgb = rgb * jnp.asarray(mask, dtype)[:, None]
     loss = jnp.mean(rgb ** 2)
+    if want_prims:
+        return rad, loss, np.stack(prim_seq)
     return rad, loss
 
 
@@ -121,6 +132,24 @@ def run(res=64, spp=4, fd_h=1e-3):
     denom = np.abs(np.asarray(rad64))[stable] + 1e-3
     rel = err_s / denom
 
+    # Discrete path-topology flips (diagnosed r5, tools/diag_grad.py):
+    # rays whose f32 SECONDARY bounce hits a different primitive than
+    # f64 (micro-differences in the sampled direction crossing a
+    # geometry edge) carry O(1) gradient differences — the second-order
+    # analog of the radiance 'flipped_rays' above, structural rather
+    # than arithmetic.  The gradient comparison masks them out the same
+    # way; their count is reported as grad_flipped_rays.
+    _, _, pr32 = _render(np.float32, res, spp, 1.0, scale_key, True,
+                         want_prims=True)
+    config.use_f64(True)
+    try:
+        _, _, pr64 = _render(np.float64, res, spp, 1.0, scale_key, True,
+                             want_prims=True)
+    finally:
+        config.use_f64(False)
+    topo = (pr32 == pr64).all(axis=(0, 1))
+    stable_g = stable & topo
+
     config.use_f64(True)
     try:
         # FD pixel gradient in f64 (the reference-quality derivative).
@@ -129,7 +158,7 @@ def run(res=64, spp=4, fd_h=1e-3):
         # would dominate the AD-vs-FD comparison.
         def f64_loss(th):
             return float(_render(np.float64, res, spp, th, scale_key,
-                                 True, stable)[1])
+                                 True, stable_g)[1])
         lp1 = f64_loss(1.0 + fd_h)
         lm1 = f64_loss(1.0 - fd_h)
         lp2 = f64_loss(1.0 + 2 * fd_h)
@@ -138,18 +167,19 @@ def run(res=64, spp=4, fd_h=1e-3):
         # f64 AD gradient of the SAME estimator: isolates AD correctness
         g64 = float(jax.grad(
             lambda th: _render(np.float64, res, spp, th, scale_key,
-                               True, stable)[1])(jnp.float64(1.0)))
+                               True, stable_g)[1])(jnp.float64(1.0)))
     finally:
         config.use_f64(False)
 
     # f32 AD gradient (the production path)
     g32 = float(jax.grad(
         lambda th: _render(np.float32, res, spp, th, scale_key, True,
-                           stable)[1])(jnp.float32(1.0)))
+                           stable_g)[1])(jnp.float32(1.0)))
 
     return {
         "res": res, "spp": spp, "scale_key": str(scale_key),
         "flipped_rays": int((~stable).sum()), "rays": int(stable.size),
+        "grad_flipped_rays": int((stable & ~topo).sum()),
         "bin_abs_err_max": float(err_s.max()),
         "bin_abs_err_mean": float(err_s.mean()),
         "bin_rel_err_p999": float(np.quantile(rel, 0.999)),
@@ -196,8 +226,11 @@ def _bvh_scene(dtype):
     return sb.build(dtype=dtype)
 
 
-def _render_bvh(dtype, res, spp):
-    from lumo_tpu import film as film_mod
+def _render_bvh(dtype, res, spp, theta=1.0, mask=None):
+    """Returns (radiance (N,4), loss).  ``theta`` scales the 'kd' table,
+    so d(loss)/d(theta) probes the material-gradient path THROUGH the
+    (opaque, stop-gradded) BVH/instance traversal + the differentiable
+    local-frame t recompute."""
     from lumo_tpu.camera import build_camera
     from lumo_tpu.color import wavelength
     from lumo_tpu.integrators import path_trace
@@ -211,7 +244,10 @@ def _render_bvh(dtype, res, spp):
     py = (pix // res).astype(dtype)
 
     @jax.jit
-    def one_spp(sp):
+    def one_spp(theta, sp):
+        mats = dict(scene.materials)
+        mats["kd"] = mats["kd"].astype(dtype) * theta
+        sc = dataclasses.replace(scene, materials=mats)
         jx = _randfloat(pix, sp ^ jnp.uint32(0x51633E2D)).astype(dtype)
         jy = _randfloat(pix, sp ^ jnp.uint32(0x68BC21EB)).astype(dtype)
         o, d = cam.generate_ray(jnp.stack([px + jx, py + jy], -1),
@@ -219,24 +255,30 @@ def _render_bvh(dtype, res, spp):
         lam_u = _randfloat(pix, sp ^ jnp.uint32(0x02E5BE93)).astype(dtype)
         lam = wavelength.sample(lam_u)
         rk = (pix * jnp.uint32(2654435761)) ^ sp
-        r, lam_out, _ = path_trace.integrate(scene, o, d, lam, ray_key=rk,
+        r, lam_out, _ = path_trace.integrate(sc, o, d, lam, ray_key=rk,
                                              fixed_depth=3)
         return r
 
+    theta = jnp.asarray(theta, dtype)
     rad = jnp.zeros((n, 4), dtype)
     for s in range(spp):
-        rad = rad + one_spp(jnp.uint32((0x9E3779B9 * (s + 1)) & 0xFFFFFFFF))
-    return rad / spp
+        rad = rad + one_spp(theta,
+                            jnp.uint32((0x9E3779B9 * (s + 1)) & 0xFFFFFFFF))
+    rad = rad / spp
+    lrad = rad * jnp.asarray(mask, dtype)[:, None] if mask is not None else rad
+    return rad, jnp.mean(lrad ** 2)
 
 
-def run_bvh(res=32, spp=2):
-    """f32-vs-f64 allclose on the accelerated/instanced/textured scene."""
+def run_bvh(res=32, spp=2, fd_h=1e-3):
+    """f32-vs-f64 allclose + material-gradient probe on the
+    accelerated/instanced/textured scene (VERDICT r4 task 5: the driver
+    artifact carried no robustness evidence for the accelerated path)."""
     from lumo_tpu import config
 
-    rad32 = _render_bvh(np.float32, res, spp)
+    rad32, _ = _render_bvh(np.float32, res, spp)
     config.use_f64(True)
     try:
-        rad64 = _render_bvh(np.float64, res, spp)
+        rad64, _ = _render_bvh(np.float64, res, spp)
     finally:
         config.use_f64(False)
     err = np.abs(np.asarray(rad32, np.float64) - np.asarray(rad64))
@@ -244,6 +286,24 @@ def run_bvh(res=32, spp=2):
     err_s = err[stable]
     denom = np.abs(np.asarray(rad64))[stable] + 1e-3
     rel = err_s / denom
+
+    # gradient probe through the instanced/accelerated path
+    g32 = float(jax.grad(
+        lambda th: _render_bvh(np.float32, res, spp, th, stable)[1])(
+        jnp.float32(1.0)))
+    config.use_f64(True)
+    try:
+        g64 = float(jax.grad(
+            lambda th: _render_bvh(np.float64, res, spp, th, stable)[1])(
+            jnp.float64(1.0)))
+
+        def f64_loss(th):
+            return float(_render_bvh(np.float64, res, spp, th, stable)[1])
+        g_fd = (8.0 * (f64_loss(1.0 + fd_h) - f64_loss(1.0 - fd_h))
+                - (f64_loss(1.0 + 2 * fd_h) - f64_loss(1.0 - 2 * fd_h))) \
+            / (12.0 * fd_h)
+    finally:
+        config.use_f64(False)
     return {
         "res": res, "spp": spp,
         "flipped_rays": int((~stable).sum()), "rays": int(stable.size),
@@ -251,6 +311,11 @@ def run_bvh(res=32, spp=2):
         "bin_abs_err_mean": float(err_s.mean()),
         "bin_rel_err_p999": float(np.quantile(rel, 0.999)),
         "bin_rel_err_mean": float(rel.mean()),
+        "pixel_grad_ad_f32": g32,
+        "pixel_grad_ad_f64": g64,
+        "pixel_grad_fd_f64": g_fd,
+        "grad_ad_vs_fd_rel_err": abs(g64 - g_fd) / (abs(g_fd) + 1e-12),
+        "grad_f32_vs_ref_rel_err": abs(g32 - g64) / (abs(g64) + 1e-12),
     }
 
 
