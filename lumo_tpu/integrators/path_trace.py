@@ -234,7 +234,7 @@ def integrate(scene, o, d, lam, key=None, delta=1.0, max_depth=MAX_DEPTH,
 # persistent wavefront with path regeneration
 
 def integrate_stream(scene, gen, fold, acc0, n_lanes, n_samples, delta=1.0,
-                     max_bounces=MAX_DEPTH):
+                     max_bounces=MAX_DEPTH, delta_fn=None):
     """Path tracing at ~100% lane occupancy: terminated lanes immediately
     regenerate with fresh camera samples instead of idling through the
     Russian-roulette tail (the batch ``integrate`` runs ~20 full-width
@@ -254,6 +254,12 @@ def integrate_stream(scene, gen, fold, acc0, n_lanes, n_samples, delta=1.0,
     fold(acc, term_mask (L,), state) -> acc: called once per wavefront
         iteration with the lanes that just terminated; read
         state["radiance"], state["lam"], state["depth"], metadata...
+    delta_fn(acc, state) -> (L,) per-lane RR threshold, evaluated every
+        wavefront iteration from the running accumulator — this is how
+        the renderer's per-pixel adaptive Russian roulette
+        (delta = sqrt(var/cost), reference ``task.rs:42-53``) rides the
+        stream: the stats it needs accumulate in ``acc`` via ``fold``.
+        Overrides the scalar ``delta`` when given.
     Returns the final acc.
     """
     L = n_lanes
@@ -308,7 +314,8 @@ def integrate_stream(scene, gen, fold, acc0, n_lanes, n_samples, delta=1.0,
 
     def body(c):
         state, issued, acc = c
-        s2 = bounce(scene, state, delta)
+        d = delta if delta_fn is None else delta_fn(acc, state)
+        s2 = bounce(scene, state, d)
         over = s2["depth"] >= max_bounces
         s2["alive"] = s2["alive"] & ~over
         term = state["alive"] & ~s2["alive"]

@@ -113,12 +113,16 @@ class Renderer:
         return self
 
     def stream(self, on=True):
-        """Persistent-wavefront mode (path integrator, single device):
-        terminated lanes immediately regenerate with fresh samples
-        instead of idling through the Russian-roulette tail — measured
-        ~2x forward throughput on accelerated scenes.  Same estimator,
-        same counter-based randomness; images match batch mode to f32
-        graph-fusion rounding (``tests/test_stream.py``)."""
+        """Persistent-wavefront mode (path integrator): terminated lanes
+        immediately regenerate with fresh samples instead of idling
+        through the Russian-roulette tail — measured ~2x forward
+        throughput on accelerated scenes.  Same estimator, same
+        counter-based randomness; images match batch mode to f32
+        graph-fusion rounding (``tests/test_stream.py``).  Composes with
+        ``.devices(n)`` (per-device lane pools over disjoint sample
+        ranges, films psum'd) and with adaptive Russian roulette (the
+        per-pixel delta updates every wavefront iteration from the
+        running stats)."""
         self._stream = bool(on)
         return self
 
@@ -297,11 +301,15 @@ class Renderer:
                 f"pixel count {w * h} must be divisible by {n} devices")
         return mesh_mod.make_mesh(n)
 
-    def _render_stream(self, verbose=True):
+    def _render_stream(self, mesh=None, verbose=True):
         """Persistent-wavefront render (see :meth:`stream`): one jitted
         while_loop traces every (pixel, sample) exactly once with
         terminated lanes regenerating immediately; the film/stat folds
-        run masked on just-terminated lanes."""
+        run masked on just-terminated lanes.  With a mesh, each device
+        runs its own lane pool over a disjoint sample-index range and
+        the films/stats psum over ICI — a sample's estimate is a pure
+        function of its counter key, so the partition does not change
+        any sample's value (order-of-addition f32 rounding only)."""
         from lumo_tpu.color import space as space_mod
 
         scene, camera = self.scene, self.camera
@@ -317,11 +325,13 @@ class Renderer:
         wbm = jnp.asarray(
             film_mod.wb_matrix(self._colorspace, self._illuminant),
             jnp.float32)
-        # stream mode issues every sample in one pass, so the per-batch
-        # adaptive-RR feedback loop has no batch boundary to update at;
-        # use the fixed delta (or 1.0, the luminance-scale default)
-        delta = self._delta if self._delta is not None else 1.0
-        lanes = min(n_samples, max(n_pix, 8192))
+        fixed_delta = self._delta
+        n_dev = mesh.devices.size if mesh is not None else 1
+        if n_samples % n_dev:
+            raise ValueError(
+                f"samples {n_samples} must divide over {n_dev} devices")
+        per_dev = n_samples // n_dev
+        lanes = min(per_dev, max(n_pix // n_dev, 8192))
 
         def gen(idx):
             pix = (idx % n_pix).astype(jnp.uint32)
@@ -346,6 +356,21 @@ class Renderer:
             return {"o": o, "d": d, "lam": lam, "rng": ray_key,
                     "raster": raster, "pix": pix}
 
+        def delta_fn(acc, st):
+            # per-pixel adaptive RR from the running stream stats — the
+            # same delta = sqrt(var/cost) the batch path uses
+            # (``task.rs:42-53``), updated every wavefront iteration
+            if fixed_delta is not None:
+                return fixed_delta
+            _, stats, _ = acc
+            cnt = jnp.maximum(stats["n"], 1.0)
+            var = stats["f2"] - stats["f"] ** 2 / cnt
+            ok = (var > 0.0) & (stats["cost"] > 0.0) & (stats["n"] > 1.0)
+            delta_pix = jnp.where(
+                ok, jnp.sqrt(jnp.where(ok, var, 1.0)
+                             / jnp.maximum(stats["cost"], 1.0)), 1e-5)
+            return delta_pix[st["pix"]]
+
         def fold(acc, term, st):
             film, stats, rays = acc
             color = film_mod.tone_map(tone_kind, st["radiance"], st["lam"],
@@ -369,11 +394,33 @@ class Renderer:
             rays = rays + jnp.sum(jnp.where(term, st["depth"], 0))                 + jnp.sum(term)
             return film, stats, rays
 
-        @jax.jit
-        def run(film, stats):
+        def run_one(film, stats, base):
+            """One device's stream over samples [base, base + per_dev)."""
+            gen_off = lambda idx: gen(idx + base)
             return path_trace.integrate_stream(
-                scene, gen, fold, (film, stats, jnp.zeros((), jnp.float32)),
-                lanes, n_samples, delta=delta)
+                scene, gen_off, fold,
+                (film, stats, jnp.zeros((), jnp.float32)),
+                lanes, per_dev, delta_fn=delta_fn)
+
+        if mesh is None:
+            @jax.jit
+            def run(film, stats):
+                return run_one(film, stats, jnp.uint32(0))
+        else:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from lumo_tpu.parallel import mesh as mesh_mod
+
+            def shard_fn(film, stats):
+                me = jax.lax.axis_index(mesh_mod.AXIS).astype(jnp.uint32)
+                out = run_one(film, stats, me * jnp.uint32(per_dev))
+                return jax.tree.map(
+                    lambda x: jax.lax.psum(x, mesh_mod.AXIS), out)
+
+            run = jax.jit(shard_map(
+                shard_fn, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
+                check_rep=False))
 
         t0 = time.time()
         film = film_mod.new_film((w, h))
@@ -383,7 +430,8 @@ class Renderer:
         img = film_mod.finalize(film, self._filter, 1.0 / self._samples)
         if verbose:
             el = time.time() - t0
-            print(f"Rendered {w}x{h}@{self._samples}spp (stream): "
+            print(f"Rendered {w}x{h}@{self._samples}spp (stream, "
+                  f"{n_dev} device(s)): "
                   f"{total_rays / 1e6:.1f} Mrays in {el:.1f}s = "
                   f"{total_rays / max(el, 1e-9) / 1e6:.2f} Mray/s",
                   flush=True)
@@ -397,11 +445,7 @@ class Renderer:
         if self._stream:
             if self._integrator != PATH_TRACE:
                 raise ValueError("stream mode supports the path integrator")
-            if mesh is not None:
-                raise ValueError(
-                    "stream mode is single-device (for now): add "
-                    ".devices(1)")
-            return self._render_stream(verbose)
+            return self._render_stream(mesh=mesh, verbose=verbose)
         step = self._make_step(spp_batch, self._samples, mesh=mesh)
         film = film_mod.new_film((w, h))
         stats = self.new_stats(w * h)

@@ -112,3 +112,45 @@ def test_renderer_stream_mode_matches_batch():
     # plus rare discrete RR flips on firefly paths
     close = np.isclose(img_s, img_b, rtol=1e-3, atol=1e-4)
     assert close.mean() > 0.97, close.mean()
+
+
+def test_renderer_stream_multi_device_matches_single():
+    """Stream mode over a 4-device virtual mesh: per-device lane pools
+    over disjoint sample ranges, films psum'd.  Each sample's estimate
+    is a pure counter-hash function, so the partition changes only the
+    f32 order of film additions (VERDICT r4 task 7)."""
+    from lumo_tpu.camera import cornell_camera
+    from lumo_tpu.renderer import Renderer
+    from lumo_tpu.scene.cornell import cornell_box
+
+    scene = cornell_box().build()
+    cam = cornell_camera(resolution=(16, 16))
+    img_1 = Renderer(scene, cam).samples(8).seed(3).fixed_rr_delta(0.25) \
+        .devices(1).stream().render(verbose=False)
+    img_4 = Renderer(scene, cam).samples(8).seed(3).fixed_rr_delta(0.25) \
+        .devices(4).stream().render(verbose=False)
+    assert np.isfinite(img_4).all()
+    close = np.isclose(img_4, img_1, rtol=1e-3, atol=1e-4)
+    assert close.mean() > 0.97, close.mean()
+
+
+def test_renderer_stream_adaptive_rr():
+    """Adaptive Russian roulette inside the stream loop (per-pixel
+    delta = sqrt(var/cost) from the running stats): unbiased — the
+    image must agree with the fixed-delta stream render within MC noise
+    (VERDICT r4 weak #5: stream silently swapped adaptive RR for 1.0)."""
+    from lumo_tpu.camera import cornell_camera
+    from lumo_tpu.renderer import Renderer
+    from lumo_tpu.scene.cornell import cornell_box
+
+    scene = cornell_box().build()
+    cam = cornell_camera(resolution=(8, 8))
+    spp = 256
+    img_a = Renderer(scene, cam).samples(spp).seed(5) \
+        .stream().render(verbose=False)          # adaptive (default)
+    img_f = Renderer(scene, cam).samples(spp).seed(6).fixed_rr_delta(0.25) \
+        .stream().render(verbose=False)
+    assert np.isfinite(img_a).all()
+    m = img_f.max(axis=2) < 5.0   # exclude high-variance light pixels
+    rel = np.abs(img_a[m] - img_f[m]).mean() / img_f[m].mean()
+    assert rel < 0.15, rel
