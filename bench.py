@@ -142,7 +142,46 @@ def bench_cornell():
                                           jax.random.fold_in(key, i))
         loss_f.block_until_ready()
         fwd_only = max(fwd_only, float(rays_f) / (time.perf_counter() - t0))
-    return fwd_bwd, fwd_only
+
+    # forward via the persistent wavefront (stream): terminated lanes
+    # regenerate immediately instead of idling through the RR tail.
+    # The faster of (batch scan, stream) becomes fwd_only; the mode is
+    # recorded (VERDICT r4 task 7).
+    from lumo_tpu.sampling.samplers import _hash_u32, _randfloat
+    n_samples = n * SPP
+
+    def gen(idx):
+        p = (idx % n).astype(jnp.uint32)
+        s = (idx // n).astype(jnp.uint32)
+        gx = (p % RES).astype(jnp.float32)
+        gy = (p // RES).astype(jnp.float32)
+        jx = _randfloat(p, s ^ jnp.uint32(0x51633E2D))
+        jy = _randfloat(p, s ^ jnp.uint32(0x68BC21EB))
+        raster = jnp.stack([gx + jx, gy + jy], -1)
+        oo, dd = camera.generate_ray(raster, jnp.full(raster.shape, 0.5))
+        ll = wavelength.sample(_randfloat(p, s ^ jnp.uint32(0x02E5BE93)))
+        rk = _hash_u32(p ^ _hash_u32(s ^ jnp.uint32(0x9E3779B9)))
+        return {"o": oo, "d": dd, "lam": ll, "rng": rk}
+
+    def fold(acc, term, st):
+        return acc + jnp.sum(jnp.where(term, st["depth"], 0)) * 2.0
+
+    @jax.jit
+    def fwd_stream():
+        return path_trace.integrate_stream(
+            scene, gen, fold, jnp.zeros((), jnp.float32), n, n_samples)
+
+    rays_s = fwd_stream()
+    rays_s.block_until_ready()
+    stream_rate = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        rays_s = fwd_stream()
+        rays_s.block_until_ready()
+        stream_rate = max(stream_rate,
+                          float(rays_s) / (time.perf_counter() - t0))
+    mode = "stream" if stream_rate > fwd_only else "batch_scan"
+    return fwd_bwd, max(fwd_only, stream_rate), mode
 
 
 def bench_bvh_scene():
@@ -219,6 +258,54 @@ def bench_bvh_scene():
            "bvh_scene_fwd_rays_per_sec": round(best, 1)}
     if CPU_ANCHOR_BVH_RAYS_PER_S:
         out["vs_baseline"] = round(best / CPU_ANCHOR_BVH_RAYS_PER_S, 3)
+
+    # fwd+bwd through the accelerated scene (VERDICT r4 weak #2: the
+    # repo was unmeasured exactly where it is slowest) — fixed-depth
+    # remat scan with material-gradient accumulation, like the flagship
+    import dataclasses
+    is_float = {k: jnp.issubdtype(v.dtype, jnp.floating)
+                for k, v in scene.materials.items()}
+    mat_float = {k: v for k, v in scene.materials.items() if is_float[k]}
+    GRAD_SPP = 2
+    GRAD_DEPTH = 4
+
+    def loss_and_rays(mats, sp):
+        materials = {k: (mats[k] if is_float[k] else scene.materials[k])
+                     for k in scene.materials}
+        sc = dataclasses.replace(scene, materials=materials)
+        jx = _randfloat(pix, sp ^ jnp.uint32(0x51633E2D))
+        jy = _randfloat(pix, sp ^ jnp.uint32(0x68BC21EB))
+        raster = jnp.stack([px + jx, py + jy], -1)
+        oo, dd = camera.generate_ray(raster, jnp.full((n, 2), 0.5))
+        ll = wavelength.sample(_randfloat(pix, sp ^ jnp.uint32(0x02E5BE93)))
+        rk = _hash_u32(pix ^ _hash_u32(sp))
+        r, lam_out, depth = path_trace.integrate(
+            sc, oo, dd, ll, ray_key=rk, fixed_depth=GRAD_DEPTH)
+        return jnp.mean(r ** 2), jnp.sum(depth.astype(jnp.float32)) * 2.0
+
+    @jax.jit
+    def fwd_bwd(mats):
+        def one(carry, i):
+            (loss, rays), grads = jax.value_and_grad(
+                loss_and_rays, has_aux=True)(mats, jnp.uint32(i))
+            acc_l, acc_r, acc_g = carry
+            return (acc_l + loss, acc_r + rays,
+                    jax.tree.map(jnp.add, acc_g, grads)), None
+        zero_g = jax.tree.map(jnp.zeros_like, mats)
+        (loss, rays, grads), _ = jax.lax.scan(
+            one, (0.0, 0.0, zero_g), jnp.arange(1, GRAD_SPP + 1))
+        return loss, rays, sum(jnp.sum(jnp.abs(g)) for g in grads.values())
+
+    loss, rays_g, gn = fwd_bwd(mat_float)
+    loss.block_until_ready()
+    best_g = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        loss, rays_g, gn = fwd_bwd(mat_float)
+        loss.block_until_ready()
+        best_g = max(best_g, float(rays_g) / (time.perf_counter() - t0))
+    out["bvh_scene_fwd_bwd_rays_per_sec"] = round(best_g, 1)
+    out["fwd_bwd_depth"] = GRAD_DEPTH
     return out
 
 
@@ -319,7 +406,7 @@ def _run_sub(name):
 
 
 def main():
-    rays_per_s, fwd_only = bench_cornell()
+    rays_per_s, fwd_only, fwd_mode = bench_cornell()
     result = {
         "metric": "cornell_256_64spp_fwd_bwd_rays_per_sec_per_chip",
         "value": round(rays_per_s, 1),
@@ -330,6 +417,7 @@ def main():
             "fwd_only": {
                 "rays_per_s": round(fwd_only, 1),
                 "vs_baseline": round(fwd_only / CPU_ANCHOR_RAYS_PER_S, 3),
+                "mode": fwd_mode,
             },
         },
     }

@@ -27,7 +27,9 @@ hit ``t`` differentiably from the returned primitive id.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -197,13 +199,32 @@ _SCALARS = ("lo_x", "lo_y", "lo_z", "hi_x", "hi_y", "hi_z",
             "right", "first", "count", "axis", "blk")
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BlockTree:
+    """Device block pack.  A pytree whose ``lblk``/``depth`` are STATIC
+    aux data, so a scene holding one can be passed as a jit ARGUMENT
+    (required for huge scenes: closed-over arrays are embedded as HLO
+    constants, and the compile tunnel rejects ~GB requests with HTTP
+    413).  Dict-style ``blk[key]`` access is kept for compatibility."""
+    arrays: Any
+    lblk: int = dataclasses.field(metadata=dict(static=True))
+    depth: int = dataclasses.field(metadata=dict(static=True))
+
+    def __getitem__(self, k):
+        if k == "lblk":
+            return self.lblk
+        if k == "depth":
+            return self.depth
+        return self.arrays[k]
+
+
 def to_device(packed):
-    """numpy pack → jnp arrays (keeps 'depth'/'lblk' as python ints)."""
-    out = {k: jnp.asarray(packed[k]) for k in _SCALARS}
-    out["tri_blk"] = jnp.asarray(packed["tri_blk"])
-    out["depth"] = packed["depth"]
-    out["lblk"] = packed["lblk"]
-    return out
+    """numpy pack → device BlockTree ('depth'/'lblk' static ints)."""
+    arrays = {k: jnp.asarray(packed[k]) for k in _SCALARS}
+    arrays["tri_blk"] = jnp.asarray(packed["tri_blk"])
+    return BlockTree(arrays=arrays, lblk=int(packed["lblk"]),
+                     depth=int(packed["depth"]))
 
 
 # ---------------------------------------------------------------------------

@@ -71,6 +71,9 @@ class SceneData:
     # kd-tree over triangles (dict of arrays) or None; when set it is the
     # triangle accelerator (reference Mesh = KdTree, ``kdtree.rs:9``)
     kdtree: Any
+    # packed block kd-tree for the Pallas TPU packet kernel (dict from
+    # ``accel.pallas_kd.pack_kd_blocks``) or None
+    kd_blk: Any
     # homogeneous participating medium (dict of arrays) or None
     medium: Any
     # runtime-instanced mesh groups (tuple of dicts): ONE copy of the
@@ -453,37 +456,17 @@ class SceneBuilder:
             tri_mat = tri_mat[order]
             tri_is_light = tri_is_light[order]
         elif T >= BVH_THRESHOLD and accel == "kdtree":
-            # The device kd walk is a per-lane XLA stack traversal
-            # (``accel/traverse.py``) — correct, but its gathers scale
-            # with the node-table size on TPU and a ~300k-triangle tree
-            # locks the chip (VERDICT r2 item 1; the Pallas packet kernel
-            # exists only for the BVH).  Refuse dishonest configurations
-            # up front instead of hanging at render time.
-            import jax as _jax
-            KD_TPU_MAX_TRIS = 50_000
-            on_tpu = _jax.default_backend() not in ("cpu", "gpu")
-            if on_tpu and T > KD_TPU_MAX_TRIS:
-                import warnings
-                warnings.warn(
-                    f"accel='kdtree' with {T} triangles on a TPU backend: "
-                    f"the XLA per-lane kd walk is only viable up to "
-                    f"~{KD_TPU_MAX_TRIS} triangles on-chip; falling back "
-                    f"to the BVH packet kernel (pass accel='bvh' to "
-                    f"silence)", stacklevel=2)
-                from lumo_tpu.accel import build as accel_build
-                lo_t, hi_t = accel_build.triangle_bounds(
-                    tri["a"], tri["b"], tri["c"])
-                bvh = accel_build.build(lo_t, hi_t)
-                order = bvh.order
-                tri = {k: v[order] for k, v in tri.items()}
-                tri_mat = tri_mat[order]
-                tri_is_light = tri_is_light[order]
-            else:
-                from lumo_tpu.accel import build as accel_build
-                from lumo_tpu.accel import kdtree as accel_kd
-                lo_t, hi_t = accel_build.triangle_bounds(
-                    tri["a"], tri["b"], tri["c"])
-                kdt = accel_kd.build(lo_t, hi_t)
+            from lumo_tpu.accel import build as accel_build
+            from lumo_tpu.accel import kdtree as accel_kd
+            import time as _time
+            _t0 = _time.perf_counter()
+            lo_t, hi_t = accel_build.triangle_bounds(
+                tri["a"], tri["b"], tri["c"])
+            kdt = accel_kd.build(lo_t, hi_t)
+            _el = _time.perf_counter() - _t0
+            if _el > 0.05:
+                print(f"kd-tree: {T} tris, {len(kdt.axis)} nodes "
+                      f"in {_el:.2f}s", flush=True)
 
         sph_center = (np.stack([s[0] for s in self._spheres]) if S
                       else np.zeros((0, 3)))
@@ -582,11 +565,25 @@ class SceneBuilder:
                 print(f"BVH block pack: {blk['tri_blk'].shape[0]} blocks "
                       f"(lblk {blk['lblk']}) in {_el:.2f}s", flush=True)
         kd_dev = None
+        kd_blk_dev = None
         if kdt is not None:
             kd_dev = {"split": jf(kdt.split), "axis": ju(kdt.axis),
                       "right": ju(kdt.right), "first": ju(kdt.first),
                       "count": ju(kdt.count), "prims": ju(kdt.prims),
                       "lo": jf(kdt.root_lo), "hi": jf(kdt.root_hi)}
+            # packed block kd-tree for the Pallas packet kernel — the
+            # on-chip kd path at mesh scale (VERDICT r4 task 6; the old
+            # KD_TPU_MAX_TRIS=50k warn+BVH-fallback is gone)
+            from lumo_tpu.accel import pallas_kd
+            import time as _time
+            _t0 = _time.perf_counter()
+            kdb = pallas_kd.pack_kd_blocks(kdt, tri["a"], tri["b"],
+                                           tri["c"])
+            kd_blk_dev = pallas_kd.to_device(kdb)
+            _el = _time.perf_counter() - _t0
+            if _el > 0.05:
+                print(f"kd block pack: {kdb['tri_blk'].shape[0]} blocks "
+                      f"(lblk {kdb['lblk']}) in {_el:.2f}s", flush=True)
 
         # ---- runtime-instanced mesh groups: one geometry copy + local
         #      BVH per group, per-instance inverse/forward maps ----
@@ -644,6 +641,7 @@ class SceneBuilder:
             bvh=bvh_dev,
             bvh_blk=blk_dev,
             kdtree=kd_dev,
+            kd_blk=kd_blk_dev,
             medium=medium_dev,
             inst=tuple(inst_dev),
             tex_kinds=tuple(sorted({r["kind"] for r in self.textures.rows})),

@@ -73,9 +73,14 @@ def _closest(scene: SceneData, o, d, t_max):
         o_s, d_s = jax.lax.stop_gradient(o), jax.lax.stop_gradient(d)
         tm_s = jax.lax.stop_gradient(t_max)
         if scene.kdtree is not None:
-            t_tri, p_tri = traverse.kd_closest_hit(
-                scene.kdtree, (scene.tri_a, scene.tri_b, scene.tri_c),
-                o_s, d_s, t_max=tm_s)
+            if scene.kd_blk is not None and _on_tpu():
+                from lumo_tpu.accel import pallas_kd
+                t_tri, p_tri = pallas_kd.closest_hit(
+                    scene.kd_blk, o_s, d_s, t_max=tm_s)
+            else:
+                t_tri, p_tri = traverse.kd_closest_hit(
+                    scene.kdtree, (scene.tri_a, scene.tri_b, scene.tri_c),
+                    o_s, d_s, t_max=tm_s)
         elif scene.bvh_blk is not None and _on_tpu():
             from lumo_tpu.accel import pallas_bvh
             t_tri, p_tri = pallas_bvh.closest_hit(
@@ -424,9 +429,13 @@ def occluded(scene: SceneData, o, d, t_max, key=None, rng=None, salt=0):
         o_s, d_s = jax.lax.stop_gradient(o), jax.lax.stop_gradient(d)
         tm_s = jax.lax.stop_gradient(t_max)
         if scene.kdtree is not None:
-            occ = traverse.kd_any_hit(
-                scene.kdtree, (scene.tri_a, scene.tri_b, scene.tri_c),
-                o_s, d_s, t_max=tm_s)
+            if scene.kd_blk is not None and _on_tpu():
+                from lumo_tpu.accel import pallas_kd
+                occ = pallas_kd.any_hit(scene.kd_blk, o_s, d_s, t_max=tm_s)
+            else:
+                occ = traverse.kd_any_hit(
+                    scene.kdtree, (scene.tri_a, scene.tri_b, scene.tri_c),
+                    o_s, d_s, t_max=tm_s)
         elif scene.bvh_blk is not None and _on_tpu():
             from lumo_tpu.accel import pallas_bvh
             occ = pallas_bvh.any_hit(scene.bvh_blk, o_s, d_s, t_max=tm_s)

@@ -53,9 +53,10 @@ def _brute(ap, bp, cp, o, d, t_max=INF):
             jnp.argmin(t_all, axis=-1).astype(jnp.int32))
 
 
-@pytest.mark.parametrize("T,sub", [(500, 1), (3000, 2)])
-def test_closest_matches_brute_force(T, sub):
-    blk, ap, bp, cp = _packed(T)
+@pytest.mark.parametrize("T,sub,lblk", [(500, 1, 128), (3000, 2, 128),
+                                        (3000, 1, 512), (3000, 1, 1024)])
+def test_closest_matches_brute_force(T, sub, lblk):
+    blk, ap, bp, cp = _packed(T, lblk=lblk)
     o, d = _rays(257)
     t_k, p_k = pallas_bvh.closest_hit(blk, o, d, interpret=True, sub=sub)
     t_r, p_r = _brute(ap, bp, cp, o, d)
