@@ -172,6 +172,11 @@ def pack_blocks(bvh, tri_a, tri_b, tri_c, lblk=LBLK):
             f"collapsed BVH depth {depth_max} exceeds the kernel stack "
             f"bound STACK={STACK}")
 
+    wide = _collapse4(out)
+    if wide["depth"] > STACK:
+        raise ValueError(
+            f"BVH4 worst-case stack {wide['depth']} exceeds STACK={STACK}")
+
     a = np.asarray(tri_a, np.float32)
     b = np.asarray(tri_b, np.float32)
     c = np.asarray(tri_c, np.float32)
@@ -187,16 +192,166 @@ def pack_blocks(bvh, tri_a, tri_b, tri_c, lblk=LBLK):
         tri_blk[bi, 3:6, :cnt] = b[idx].T
         tri_blk[bi, 6:9, :cnt] = c[idx].T
         tri_blk[bi, 9, :cnt] = idx.astype(np.float32)
-    packed = {k: np.asarray(v, np.float32 if k[0] in "lh" else np.int32)
-              for k, v in out.items()}
+    packed = dict(wide)
     packed["tri_blk"] = tri_blk
-    packed["depth"] = int(depth_max)
     packed["lblk"] = int(lblk)
+    # t_max seeding set: the handful of dominant-area triangles (room
+    # walls, floors).  Packet traversal pays for the UNION of its rays'
+    # wanted nodes, and until a ray finds its first hit it prunes with
+    # t=INF — measured on the bench scene (327k-tri blob in a Cornell
+    # box) packets pop 559 wide nodes vs the 256 a final-t-pruned walk
+    # needs, because ~77% of bounce rays terminate on a wall the walk
+    # only discovers late.  Dense-testing these few triangles first
+    # (wrapper, (N, K) Woop — trivial) seeds every ray's t_max with its
+    # wall distance, so the walk starts tight.
+    area = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1)
+    total = float(area.sum())
+    if len(area) > 16 and total > 0:
+        sel = np.nonzero(area >= total * 1e-3)[0]
+        if len(sel) > 64:
+            sel = sel[np.argsort(area[sel])[::-1][:64]]
+    else:
+        sel = np.zeros(0, np.int64)
+    packed["seed"] = np.concatenate(
+        [a[sel], b[sel], c[sel]], axis=1).astype(np.float32)
     return packed
 
 
-_SCALARS = ("lo_x", "lo_y", "lo_z", "hi_x", "hi_y", "hi_z",
-            "right", "first", "count", "axis", "blk")
+def _collapse4(out):
+    """Collapse the binary block tree into 4-wide (BVH4) node tables.
+
+    The kernel's while loop pays a vector→scalar round trip per
+    iteration (the ``any(want)`` reduce the scalar core must wait for);
+    measured at ~1 µs it dominated the binary walk (~365 pops/packet on
+    bounce packets vs ~180 µs of actual leaf VPU work).  A 4-wide node
+    tests FOUR child slabs per pop and only ever pushes children that
+    some ray wants, so pops shrink to (wanted interiors/2 + leaf visits)
+    — the classic wide-BVH trade of more vector work (4 slab tests/pop,
+    each ~30 cheap (sub,128) VPU ops) for fewer serial iterations.
+
+    Tables (M4 wide nodes, B leaf blocks):
+      cb_{lo,hi}_{x,y,z} (4*M4,) f32 — child-slot bounds; empty slots
+        carry inverted boxes so their slab test can never pass
+      code (4*M4,) i32 — w+1 for wide child w, -(blk+1) for leaf block
+        blk, 0 for empty
+      ax0/axl/axr (M4,) i32 — split axes: node, left child, right child
+        (near-child ordering from the packet-majority direction signs)
+      b{lo,hi}_{x,y,z} (B,) f32, cnt_blk (B,) i32 — leaf-block bounds
+        (pop-time re-test against the shrunken per-ray t) and prim count
+      root (8,) f32 — root bounds (host-side Morton sort normalization)
+      depth int — worst-case stack occupancy (child with the deepest
+        subtree processed while all its siblings still sit below it)
+    """
+    right2 = np.asarray(out["right"], np.int64)
+    count2 = np.asarray(out["count"], np.int64)
+    blk2 = np.asarray(out["blk"], np.int64)
+    axis2 = np.asarray(out["axis"], np.int64)
+    lo2 = np.stack([out["lo_x"], out["lo_y"], out["lo_z"]],
+                   1).astype(np.float32)
+    hi2 = np.stack([out["hi_x"], out["hi_y"], out["hi_z"]],
+                   1).astype(np.float32)
+    is_leaf2 = count2 > 0
+    nblk = int(blk2[is_leaf2].max()) + 1 if is_leaf2.any() else 0
+
+    blo = np.zeros((nblk, 3), np.float32)
+    bhi = np.zeros((nblk, 3), np.float32)
+    cnt_blk = np.zeros(nblk, np.int32)
+    for i in np.nonzero(is_leaf2)[0]:
+        blo[blk2[i]] = lo2[i]
+        bhi[blk2[i]] = hi2[i]
+        cnt_blk[blk2[i]] = count2[i]
+
+    wide_id = {}
+    order = []
+
+    def intern(n):
+        if n not in wide_id:
+            wide_id[n] = len(order)
+            order.append(n)
+        return wide_id[n]
+
+    cb_lo, cb_hi, code, ax0, axl, axr = [], [], [], [], [], []
+    if is_leaf2[0]:
+        # degenerate: whole scene is one block
+        cb_lo.append(np.vstack([lo2[0], np.full((3, 3), 1e30, np.float32)]))
+        cb_hi.append(np.vstack([hi2[0], np.full((3, 3), -1e30, np.float32)]))
+        code.append([-(int(blk2[0]) + 1), 0, 0, 0])
+        ax0.append(0)
+        axl.append(0)
+        axr.append(0)
+        n_children = [1]
+    else:
+        intern(0)
+        n_children = []
+        qi = 0
+        while qi < len(order):
+            w2 = order[qi]
+            qi += 1
+            slots = []          # (code, lo, hi) per slot, pair-aligned
+            axes = [int(axis2[w2]), 0, 0]
+            for side_pos, side in enumerate((w2 + 1, int(right2[w2]))):
+                if is_leaf2[side]:
+                    slots.append((-(int(blk2[side]) + 1), lo2[side],
+                                  hi2[side]))
+                    slots.append(None)
+                else:
+                    axes[1 + side_pos] = int(axis2[side])
+                    for g in (side + 1, int(right2[side])):
+                        if is_leaf2[g]:
+                            slots.append((-(int(blk2[g]) + 1), lo2[g],
+                                          hi2[g]))
+                        else:
+                            slots.append((intern(g) + 1, lo2[g], hi2[g]))
+            lo_k = np.full((4, 3), 1e30, np.float32)
+            hi_k = np.full((4, 3), -1e30, np.float32)
+            code_k = [0, 0, 0, 0]
+            nch = 0
+            for k, s in enumerate(slots):
+                if s is None:
+                    continue
+                code_k[k], lo_k[k], hi_k[k] = s
+                nch += 1
+            cb_lo.append(lo_k)
+            cb_hi.append(hi_k)
+            code.append(code_k)
+            ax0.append(axes[0])
+            axl.append(axes[1])
+            axr.append(axes[2])
+            n_children.append(nch)
+
+    M4 = len(code)
+    code = np.asarray(code, np.int32)
+    # worst-case stack: H(w) = (children-1) + max_child H(child); leaves 1
+    H = np.ones(M4, np.int64)
+    for w in range(M4 - 1, -1, -1):
+        hc = 1
+        for k in range(4):
+            c = code[w, k]
+            if c > 0:
+                hc = max(hc, H[c - 1])
+        H[w] = (n_children[w] - 1) + hc
+    cb_lo = np.concatenate(cb_lo, 0).reshape(M4 * 4, 3)
+    cb_hi = np.concatenate(cb_hi, 0).reshape(M4 * 4, 3)
+    root = np.zeros(8, np.float32)
+    root[0:3], root[3:6] = lo2[0], hi2[0]
+    return {
+        "cb_lo_x": cb_lo[:, 0], "cb_lo_y": cb_lo[:, 1],
+        "cb_lo_z": cb_lo[:, 2], "cb_hi_x": cb_hi[:, 0],
+        "cb_hi_y": cb_hi[:, 1], "cb_hi_z": cb_hi[:, 2],
+        "code": code.reshape(-1),
+        "ax0": np.asarray(ax0, np.int32), "axl": np.asarray(axl, np.int32),
+        "axr": np.asarray(axr, np.int32),
+        "blo_x": blo[:, 0], "blo_y": blo[:, 1], "blo_z": blo[:, 2],
+        "bhi_x": bhi[:, 0], "bhi_y": bhi[:, 1], "bhi_z": bhi[:, 2],
+        "cnt_blk": cnt_blk, "root": root,
+        "depth": int(H[0]) if M4 else 1,
+    }
+
+
+_SCALARS = ("cb_lo_x", "cb_lo_y", "cb_lo_z", "cb_hi_x", "cb_hi_y",
+            "cb_hi_z", "code", "ax0", "axl", "axr",
+            "blo_x", "blo_y", "blo_z", "bhi_x", "bhi_y", "bhi_z",
+            "cnt_blk")
 
 
 @jax.tree_util.register_dataclass
@@ -223,6 +378,8 @@ def to_device(packed):
     """numpy pack → device BlockTree ('depth'/'lblk' static ints)."""
     arrays = {k: jnp.asarray(packed[k]) for k in _SCALARS}
     arrays["tri_blk"] = jnp.asarray(packed["tri_blk"])
+    arrays["root"] = jnp.asarray(packed["root"])
+    arrays["seed"] = jnp.asarray(packed["seed"])
     return BlockTree(arrays=arrays, lblk=int(packed["lblk"]),
                      depth=int(packed["depth"]))
 
@@ -286,11 +443,21 @@ def _pairwise_tri_t(ox, oy, oz, kz, sx, sy, sz, tri, t_min, t_max):
     return jnp.where(t <= t_min + d_t, INF, t)
 
 
-def _traverse_kernel(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
-                     n_right, n_first, n_count, n_axis, n_blk,
+def _traverse_kernel(cb_lo_x, cb_lo_y, cb_lo_z, cb_hi_x, cb_hi_y, cb_hi_z,
+                     n_code, n_ax0, n_axl, n_axr,
+                     blo_x, blo_y, blo_z, bhi_x, bhi_y, bhi_z, n_cnt,
                      rays, rays_t, tri_hbm, t_out, prim_out,
                      *rest, lblk, any_hit, sub, stats=False):
     """One packet: R = sub*128 rays, scalar SMEM stack, leaf DMA.
+
+    BVH4 walk (round 5): every loop iteration pays a vector→scalar
+    round trip for the ``any(want)`` reduces the scalar core consumes —
+    measured ~1 µs each, ~2/3 of a bounce packet's walk with the old
+    one-node-per-pop binary loop (~365 pops).  The wide loop pops only
+    nodes some ray WANTS (children are slab-tested at the parent, all
+    four reduces issued back-to-back under one stall) and pushes wanted
+    children far-to-near, so bounce packets drop to ~half the serial
+    iterations for the same visited set.
 
     Mosaic cannot freely relayout (sub, 128) <-> (R, 1) vectors, so the
     packet carries the SAME rays in two layouts: ``rays`` comp-major
@@ -308,6 +475,7 @@ def _traverse_kernel(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
 
     if stats:
         stat_out, blk_buf, stack, tbest, sem = rest
+        stat_out[...] = jnp.zeros((8, 128), _I32)
     else:
         stat_out = None
         blk_buf, stack, tbest, sem = rest
@@ -350,14 +518,14 @@ def _traverse_kernel(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
     prim_out[...] = jnp.full((R, 1), -1, _I32)
     # per-ray prune state in slab layout; dead lanes never want a node
     tbest[...] = jnp.where(dead8, _F32(-INF), tmax0)
-    stack[0] = _I32(0)
+    stack[0] = _I32(1)                   # wide root's code
     eye = (jax.lax.broadcasted_iota(_I32, (128, 128), 0)
            == jax.lax.broadcasted_iota(_I32, (128, 128), 1))
 
-    def slab_want(node):
-        t0x, t1x = (lo_x[node] - ox) * ix, (hi_x[node] - ox) * ix
-        t0y, t1y = (lo_y[node] - oy) * iy, (hi_y[node] - oy) * iy
-        t0z, t1z = (lo_z[node] - oz) * iz, (hi_z[node] - oz) * iz
+    def _slab(blox, bloy, bloz, bhix, bhiy, bhiz):
+        t0x, t1x = (blox - ox) * ix, (bhix - ox) * ix
+        t0y, t1y = (bloy - oy) * iy, (bhiy - oy) * iy
+        t0z, t1z = (bloz - oz) * iz, (bhiz - oz) * iz
         tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                      jnp.minimum(t0y, t1y)),
                          jnp.minimum(t0z, t1z))
@@ -369,21 +537,31 @@ def _traverse_kernel(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
         return (tn <= tf) & (tf > t_min) & (tn < tbest[...]
                                             * _F32(1.00000024))
 
-    def process_leaf(node, bi):
-        """Test the rows of pending leaf ``node`` against the block in
-        ``blk_buf[bi]`` (its DMA must be complete).  The want mask is
-        recomputed against the CURRENT tbest — tighter than when the
-        leaf was popped."""
-        want = slab_want(node)
-        count = n_count[node]
+    def child_want(slot):
+        return _slab(cb_lo_x[slot], cb_lo_y[slot], cb_lo_z[slot],
+                     cb_hi_x[slot], cb_hi_y[slot], cb_hi_z[slot])
+
+    def leaf_want(b):
+        return _slab(blo_x[b], blo_y[b], blo_z[b],
+                     bhi_x[b], bhi_y[b], bhi_z[b])
+
+    def process_leaf(b, bi):
+        """Test the rows of pending leaf block ``b`` against the data in
+        ``blk_buf[bi]`` (its DMA must be complete).  The
+        want mask is recomputed against the CURRENT tbest — tighter
+        than when the leaf was popped."""
+        want = leaf_want(b)
+        count = n_cnt[b]
         lane = jax.lax.broadcasted_iota(_I32, (128, lblk), 1)
-        id_row = blk_buf[bi, 9:10, :]                        # (1, lblk)
         buf2d = blk_buf[bi]
+        id_row = buf2d[9:10, :]                              # (1, lblk)
         for r in range(sub):
             rw = jnp.any(want[r])
 
             @pl.when(rw)
             def _row(r=r):
+                if stats:
+                    stat_out[2:3, :] = stat_out[2:3, :] + 1
                 sl = slice(r * 128, (r + 1) * 128)
                 tt = _pairwise_tri_t(
                     ox_c[sl], oy_c[sl], oz_c[sl], kz_c[sl],
@@ -420,13 +598,13 @@ def _traverse_kernel(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
 
     def body(carry):
         sp, ndone, pend, cur, n_int, n_leaf = carry
-        node = stack[sp - 1]
-        want = slab_want(node)
-        hit_any = jnp.any(want)
-
-        count = n_count[node]
-        is_leaf = count > 0
-        leaf_hit = hit_any & is_leaf
+        e = stack[sp - 1]                    # >0 wide node+1, <0 -(blk+1)
+        is_leaf = e < 0
+        b = jnp.where(is_leaf, -e - 1, 0)
+        # pop-time re-test against the CURRENT shrunken per-ray t (the
+        # parent tested these bounds when it pushed, but leaves found
+        # since may have tightened tbest past this block)
+        leaf_hit = is_leaf & jnp.any(leaf_want(b))
 
         # Double-buffered leaf pipeline: start this leaf's DMA into
         # blk_buf[cur], then (while it flies) process the PREVIOUS leaf
@@ -435,37 +613,61 @@ def _traverse_kernel(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
         # the previous leaf's row tests and the following interior pops.
         @pl.when(leaf_hit)
         def _leaf():
-            pltpu.make_async_copy(tri_hbm.at[n_blk[node]],
+            pltpu.make_async_copy(tri_hbm.at[b],
                                   blk_buf.at[cur], sem.at[cur]).start()
 
             @pl.when(pend >= 0)
             def _drain_prev():
-                pltpu.make_async_copy(tri_hbm.at[n_blk[pend]],
+                pltpu.make_async_copy(tri_hbm.at[pend],
                                       blk_buf.at[1 - cur],
                                       sem.at[1 - cur]).wait()
                 process_leaf(pend, 1 - cur)
 
-        @pl.when(hit_any & ~is_leaf)
-        def _interior():
-            axis = n_axis[node]
-            # (3-arg select_n is unsupported by the Mosaic TPU lowering)
-            pos = jnp.where(axis == 0, sgn[0],
-                            jnp.where(axis == 1, sgn[1], sgn[2]))
-            left = node + 1
-            right = n_right[node]
-            near = jnp.where(pos, left, right)
-            far = jnp.where(pos, right, left)
-            stack[sp - 1] = far
-            stack[jnp.minimum(sp, STACK - 1)] = near
+        # interior: slab-test all four child slots (the four reduces
+        # issue back-to-back — ONE vector→scalar stall covers them),
+        # then push wanted children far-to-near so the near pops first
+        w = jnp.where(is_leaf, 0, e - 1)
+        base = 4 * w
+        keep = ~is_leaf
+        # empty slots MUST be gated by code != 0: their inverted boxes
+        # pass the slab test (tn = -inf <= tf = +inf), and popping code
+        # 0 reads node tables at base -4 — a traversal cycle
+        w0 = keep & (n_code[base] != 0) & jnp.any(child_want(base))
+        w1 = keep & (n_code[base + 1] != 0) & jnp.any(child_want(base + 1))
+        w2 = keep & (n_code[base + 2] != 0) & jnp.any(child_want(base + 2))
+        w3 = keep & (n_code[base + 3] != 0) & jnp.any(child_want(base + 3))
 
-        sp = jnp.where(hit_any & ~is_leaf, jnp.minimum(sp + 1, STACK),
-                       sp - 1)
-        pend = jnp.where(leaf_hit, node, pend)
+        def sgn_of(ax):
+            # (3-arg select_n is unsupported by the Mosaic TPU lowering)
+            return jnp.where(ax == 0, sgn[0],
+                             jnp.where(ax == 1, sgn[1], sgn[2]))
+
+        pos0 = sgn_of(n_ax0[w])
+        posl = sgn_of(n_axl[w])
+        posr = sgn_of(n_axr[w])
+        la = jnp.where(posl, 0, 1)           # left pair near slot
+        ra = jnp.where(posr, 2, 3)           # right pair near slot
+        j0 = jnp.where(pos0, la, ra)         # near → far slot order
+        j1 = jnp.where(pos0, 1 - la, 5 - ra)
+        j2 = jnp.where(pos0, ra, la)
+        j3 = jnp.where(pos0, 5 - ra, 1 - la)
+
+        sp = sp - 1
+        for j in (j3, j2, j1, j0):           # push far first
+            wj = jnp.where(j == 0, w0,
+                           jnp.where(j == 1, w1,
+                                     jnp.where(j == 2, w2, w3)))
+            # unconditional write one past the top; only wanted slots
+            # advance sp, unwanted ones are overwritten by the next push
+            stack[jnp.minimum(sp, STACK - 1)] = n_code[base + j]
+            sp = sp + jnp.where(wj & (sp < STACK), 1, 0)
+
+        pend = jnp.where(leaf_hit, b, pend)
         cur = jnp.where(leaf_hit, 1 - cur, cur)
         if any_hit:
             ndone = jnp.sum((prim_out[...] >= 0).astype(_I32)) \
                 + jnp.sum(dead_c.astype(_I32))
-        n_int = n_int + jnp.where(hit_any & ~is_leaf, 1, 0)
+        n_int = n_int + jnp.where(is_leaf, 0, 1)
         n_leaf = n_leaf + jnp.where(leaf_hit, 1, 0)
         return sp, ndone, pend, cur, n_int, n_leaf
 
@@ -473,13 +675,13 @@ def _traverse_kernel(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
         cond, body, (_I32(1), _I32(0), _I32(-1), _I32(0), _I32(0),
                      _I32(0)))
     if stats:
-        stat_out[0, 0] = n_int
-        stat_out[0, 1] = n_leaf
+        stat_out[0:1, :] = stat_out[0:1, :] + n_int
+        stat_out[1:2, :] = stat_out[1:2, :] + n_leaf
 
     # drain the last pending leaf
     @pl.when(pend >= 0)
     def _drain_last():
-        pltpu.make_async_copy(tri_hbm.at[n_blk[pend]],
+        pltpu.make_async_copy(tri_hbm.at[pend],
                               blk_buf.at[1 - cur],
                               sem.at[1 - cur]).wait()
         process_leaf(pend, 1 - cur)
@@ -535,10 +737,12 @@ def _run(scalars, tri_blk, packed, packed_t, *, any_hit, lblk,
         jax.ShapeDtypeStruct((NP * R, 1), _I32),
     ]
     if stats:
-        # per-packet (interior visits, leaf visits) counters
-        out_specs.append(pl.BlockSpec((1, 2), lambda i: (i, 0),
-                                      memory_space=pltpu.SMEM))
-        out_shape.append(jax.ShapeDtypeStruct((NP, 2), _I32))
+        # per-packet (interior, leaf, row-test) counters, broadcast
+        # across an (8, 128) i32 block — Mosaic rejects narrow (1, 2)
+        # output blocks, so lane 0 of rows 0/1/2 carries the values
+        out_specs.append(pl.BlockSpec((8, 128), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((NP * 8, 128), _I32))
     out = pl.pallas_call(
         kern,
         grid=(NP,),
@@ -571,8 +775,7 @@ def _sort_perm(blk, o, d, t_max):
     Sorting clusters rays that want the same subtrees into the same
     packets (wavefront ray-sorting, Aila/Laine-class), and pushes dead
     (t_max<=0) lanes into all-dead packets that exit on the root test."""
-    lo = jnp.stack([blk["lo_x"][0], blk["lo_y"][0], blk["lo_z"][0]])
-    hi = jnp.stack([blk["hi_x"][0], blk["hi_y"][0], blk["hi_z"][0]])
+    lo, hi = blk["root"][0:3], blk["root"][3:6]
     q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-30), 0.0, 1.0)
     cell = jnp.minimum((q * 64.0).astype(jnp.uint32), 63)
 
@@ -593,13 +796,34 @@ def _sort_perm(blk, o, d, t_max):
     return jnp.argsort(key)
 
 
-def _prep(blk, o, d, t_max, interpret, sub):
+def _seed_t(blk, o, d, t_max):
+    """Dense (N, K) Woop test against the pack's dominant-area seed
+    triangles; returns a per-ray inflated hit-t upper bound to start
+    the walk pruned (see pack_blocks).  The 1.0001 inflation keeps the
+    seed hit itself strictly inside the kernel's range test, so the
+    result set is bit-identical with or without seeding."""
+    seed = blk["seed"]
+    if int(seed.shape[0]) == 0:
+        return t_max
+    from lumo_tpu.geometry import intersect as geo
+    kz, shear = geo.ray_setup(d)
+    a, b, c = seed[None, :, 0:3], seed[None, :, 3:6], seed[None, :, 6:9]
+    t_all, _, _ = geo.triangle_t(o, kz, shear, a, b, c, 0.0,
+                                 t_max[..., None])
+    t_seed = jnp.min(t_all, axis=-1)
+    return jnp.minimum(t_max, jnp.where(jnp.isfinite(t_seed),
+                                        t_seed * _F32(1.0001), t_max))
+
+
+def _prep(blk, o, d, t_max, interpret, sub, seed=True):
     N = o.shape[0]
     if isinstance(t_max, (int, float)):
         t_max = jnp.full((N,), t_max, _F32)
     if interpret is None:
         # the container exposes the chip behind the 'axon' platform name
         interpret = jax.default_backend() in ("cpu", "gpu")
+    if seed:
+        t_max = _seed_t(blk, o, d, t_max)
     perm = _sort_perm(blk, o, d, t_max)
     packed, packed_t, n, NP = _pad_pack_rays(o, d, t_max, perm, sub)
     scalars = {k: blk[k] for k in _SCALARS}
@@ -629,12 +853,14 @@ def closest_hit_stats(blk, o, d, t_min=0.0, t_max=INF, interpret=None,
                       sub=SUB):
     """closest_hit + per-packet (interior visits, leaf visits) counters —
     divergence evidence for the packet design (VERDICT r4 task 1).
-    Returns (t (N,), prim (N,), stats (NP, 2) int32)."""
+    Returns (t (N,), prim (N,), stats (NP, 3) int32): per-packet
+    interior visits, leaf visits (DMAs), and leaf-row tests executed."""
     scalars, packed, packed_t, n, perm, interpret = _prep(
         blk, o, d, t_max, interpret, sub)
     t, prim, st = _run(scalars, blk["tri_blk"], packed, packed_t,
                        any_hit=False, lblk=blk["lblk"], interpret=interpret,
                        sub=sub, stats=True)
+    st = st.reshape(-1, 8, 128)[:, :3, 0]
     both = jnp.concatenate(
         [jax.lax.bitcast_convert_type(t, _I32).reshape(-1, 1)[:n],
          prim.reshape(-1, 1)[:n]], axis=1)
@@ -643,11 +869,21 @@ def closest_hit_stats(blk, o, d, t_min=0.0, t_max=INF, interpret=None,
 
 
 def any_hit(blk, o, d, t_min=0.0, t_max=INF, interpret=None, sub=SUB):
-    """Occlusion query: True where any triangle lies in (t_min, t_max)."""
+    """Occlusion query: True where any triangle lies in (t_min, t_max).
+
+    Rays the seed set (dominant-area walls) already occludes skip the
+    walk entirely: they enter as dead lanes (t_max 0) and the sort
+    packs them into all-dead packets."""
+    N = o.shape[0]
+    if isinstance(t_max, (int, float)):
+        t_max = jnp.full((N,), t_max, _F32)
+    t_seeded = _seed_t(blk, o, d, t_max)
+    occ_seed = t_seeded < t_max
+    t_run = jnp.where(occ_seed, _F32(0.0), t_max)
     scalars, packed, packed_t, n, perm, interpret = _prep(
-        blk, o, d, t_max, interpret, sub)
+        blk, o, d, t_run, interpret, sub, seed=False)
     t, prim = _run(scalars, blk["tri_blk"], packed, packed_t,
                    any_hit=True, lblk=blk["lblk"], interpret=interpret,
                    sub=sub)
     occ = (prim.reshape(-1)[:n]) >= 0
-    return jnp.zeros((n,), bool).at[perm].set(occ)
+    return jnp.zeros((n,), bool).at[perm].set(occ) | occ_seed

@@ -43,7 +43,7 @@ def timed(fn, *args, n=4, name=""):
     return best
 
 
-def packs(lblks=(256, 512, 1024)):
+def packs(lblks=(128, 256, 512)):
     v, f, vn = shapes.blob(subdiv=7, seed=11, amp=0.22)
     a = np.asarray(v[f[:, 0]], np.float32)
     b = np.asarray(v[f[:, 1]], np.float32)
@@ -65,7 +65,7 @@ def packs(lblks=(256, 512, 1024)):
         if blk["lblk"] != lb:
             continue
         out[lb] = pallas_bvh.to_device(blk)
-        print(f"lblk={lb}: nodes={len(blk['right'])} "
+        print(f"lblk={lb}: wide nodes={len(blk['ax0'])} "
               f"nblk={blk['tri_blk'].shape[0]} depth={blk['depth']} "
               f"MB={blk['tri_blk'].nbytes / 1e6:.0f}", flush=True)
     return out, (a, b, c)
@@ -117,29 +117,23 @@ def main():
         timed(ch, o_bnc, d_bnc, name=f"closest bounce  lblk={lb}")
         timed(ah, o_bnc, d_bnc, name=f"anyhit  bounce  lblk={lb}")
 
-    # stats + sub sweep on the default pack
+    # per-packet counters on each pack: interior visits, leaf DMAs,
+    # leaf-row tests — the row tests are the (128, lblk) Woop sweeps
+    for lb, blk in blks.items():
+        st_fn = jax.jit(lambda o, d, blk=blk: pallas_bvh.closest_hit_stats(
+            blk, o, d))
+        for name, o, d in (("primary", o_pri, d_pri),
+                           ("bounce", o_bnc, d_bnc)):
+            t, p, st = st_fn(o, d)
+            jax.block_until_ready(st)
+            st = np.asarray(st)
+            live = st.sum(axis=1) > 0
+            print(f"lblk={lb} {name:8s} packets={st.shape[0]} "
+                  f"int mean={st[live, 0].mean():.0f} max={st[:, 0].max()} "
+                  f"leaf mean={st[live, 1].mean():.0f} max={st[:, 1].max()} "
+                  f"rows mean={st[live, 2].mean():.0f} max={st[:, 2].max()} "
+                  f"(live {live.sum()})", flush=True)
     blk = blks[min(blks)]
-    for sub in (8, 4, 2):
-        try:
-            st_fn = jax.jit(lambda o, d, sub=sub: pallas_bvh.closest_hit_stats(
-                blk, o, d, sub=sub))
-            for name, o, d in (("primary", o_pri, d_pri),
-                               ("bounce", o_bnc, d_bnc)):
-                t, p, st = st_fn(o, d)
-                jax.block_until_ready(st)
-                st = np.asarray(st)
-                live = st.sum(axis=1) > 0
-                print(f"sub={sub} {name:8s} packets={st.shape[0]} "
-                      f"visited int mean={st[live, 0].mean():.0f} "
-                      f"max={st[:, 0].max()} leaf mean={st[live, 1].mean():.0f} "
-                      f"max={st[:, 1].max()} (live {live.sum()})", flush=True)
-            ch_s = jax.jit(lambda o, d, sub=sub: pallas_bvh.closest_hit(
-                blk, o, d, sub=sub))
-            timed(ch_s, o_pri, d_pri, name=f"closest primary sub={sub}")
-            timed(ch_s, o_bnc, d_bnc, name=f"closest bounce  sub={sub}")
-        except Exception as e:  # noqa: BLE001
-            print(f"sub={sub} failed: {type(e).__name__}: {e}"[:300],
-                  flush=True)
 
     # wrapper overhead: pre-packed kernel alone vs full call
     scalars, packed, packed_t, n, perm, interp = pallas_bvh._prep(
