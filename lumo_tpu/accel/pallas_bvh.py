@@ -37,7 +37,11 @@ import numpy as np
 
 from lumo_tpu.config import INF
 
-LBLK = 256      # triangles per leaf block (= one lane row)
+LBLK = 128      # triangles per leaf block (measured faster than
+                # 256 on the bench mix once rows dominate: the
+                # (128, lblk) Woop sweep halves while row count
+                # grows only ~35%; the doubling loop still grows
+                # lblk for scenes past MAX_NODES_SMEM)
 MAX_LBLK = 1024  # doubling cap (VMEM leaf-row temporaries ~5 MB here)
 BLK_ROWS = 16   # f32 sublane padding: rows 0-8 = ax..cz, rest unused
 STACK = 64      # same bound as the reference walk (``bvh.rs:324``)
@@ -84,7 +88,7 @@ def _collect_prims(root, node_right, node_first, node_count):
     return ids
 
 
-def pack_blocks(bvh, tri_a, tri_b, tri_c, lblk=LBLK):
+def pack_blocks(bvh, tri_a, tri_b, tri_c, lblk=LBLK, seed_tri=None):
     """Build the kernel tables from a flattened leaf-4 BVH (numpy dicts
     or the device dict from ``scene.build``).
 
@@ -204,16 +208,23 @@ def pack_blocks(bvh, tri_a, tri_b, tri_c, lblk=LBLK):
     # only discovers late.  Dense-testing these few triangles first
     # (wrapper, (N, K) Woop — trivial) seeds every ray's t_max with its
     # wall distance, so the walk starts tight.
-    area = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1)
-    total = float(area.sum())
-    if len(area) > 16 and total > 0:
-        sel = np.nonzero(area >= total * 1e-3)[0]
-        if len(sel) > 64:
-            sel = sel[np.argsort(area[sel])[::-1][:64]]
+    if seed_tri is not None:
+        # caller supplies the seed set (scene.build splits dominant-area
+        # triangles OUT of this tree and tests them densely — reference
+        # analog: walls are Plane/Rectangle objects outside the Mesh
+        # kd-tree, ``scene.rs`` object list)
+        packed["seed"] = np.asarray(seed_tri, np.float32).reshape(-1, 9)
     else:
-        sel = np.zeros(0, np.int64)
-    packed["seed"] = np.concatenate(
-        [a[sel], b[sel], c[sel]], axis=1).astype(np.float32)
+        area = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1)
+        total = float(area.sum())
+        if len(area) > 16 and total > 0:
+            sel = np.nonzero(area >= total * 8.0 / len(area))[0]
+            if len(sel) > 64:
+                sel = sel[np.argsort(area[sel])[::-1][:64]]
+        else:
+            sel = np.zeros(0, np.int64)
+        packed["seed"] = np.concatenate(
+            [a[sel], b[sel], c[sel]], axis=1).astype(np.float32)
     return packed
 
 
@@ -437,10 +448,12 @@ def _pairwise_tri_t(ox, oy, oz, kz, sx, sy, sz, tri, t_min, t_max):
     d_y = gamma_bound(5) * (max_y + max_z)
     d_e = 2.0 * (gamma_bound(2) * max_x * max_y + d_y * max_x + d_x * max_y)
     max_e = jnp.maximum(jnp.abs(e0), jnp.maximum(jnp.abs(e1), jnp.abs(e2)))
-    abs_det = jnp.maximum(jnp.abs(det), jnp.finfo(_F32).tiny)
-    d_t = 3.0 * (gamma_bound(3) * max_e * max_z + d_e * max_z
-                 + d_z * max_e) / abs_det
-    return jnp.where(t <= t_min + d_t, INF, t)
+    # det-scaled form of ``t <= t_min + d_t`` (d_t = num/|det|): avoids
+    # the second vector divide — ts = t*|det| exactly, so compare
+    # ts <= t_min*|det| + num (|det| from the sign fold above)
+    num = 3.0 * (gamma_bound(3) * max_e * max_z + d_e * max_z
+                 + d_z * max_e)
+    return jnp.where(ts <= t_min * abs_d + num, INF, t)
 
 
 def _traverse_kernel(cb_lo_x, cb_lo_y, cb_lo_z, cb_hi_x, cb_hi_y, cb_hi_z,
@@ -474,11 +487,11 @@ def _traverse_kernel(cb_lo_x, cb_lo_y, cb_lo_z, cb_hi_x, cb_hi_y, cb_hi_z,
     from jax.experimental.pallas import tpu as pltpu
 
     if stats:
-        stat_out, blk_buf, stack, tbest, sem = rest
+        stat_out, blk_buf, stack, tbest, sem, ctl = rest
         stat_out[...] = jnp.zeros((8, 128), _I32)
     else:
         stat_out = None
-        blk_buf, stack, tbest, sem = rest
+        blk_buf, stack, tbest, sem, ctl = rest
 
     R = sub * 128
     t_min = _F32(0.0)
@@ -514,6 +527,7 @@ def _traverse_kernel(cb_lo_x, cb_lo_y, cb_lo_z, cb_hi_x, cb_hi_y, cb_hi_z,
 
     dead8 = tmax0 <= 0.0                 # ray padding lanes, slab layout
     dead_c = tmax_c <= 0.0               # same lanes, column layout
+    ndead = jnp.sum(dead_c.astype(_I32)) if any_hit else None
     t_out[...] = jnp.where(dead_c, _F32(-INF), tmax_c)
     prim_out[...] = jnp.full((R, 1), -1, _I32)
     # per-ray prune state in slab layout; dead lanes never want a node
@@ -588,97 +602,116 @@ def _traverse_kernel(cb_lo_x, cb_lo_y, cb_lo_z, cb_hi_x, cb_hi_y, cb_hi_z,
                 else:
                     tbest[r:r + 1, :] = jnp.minimum(
                         tbest[r:r + 1, :], tb_row)
-
-    def cond(carry):
-        sp, ndone, pend, cur, n_int, n_leaf = carry
-        live = sp > 0
         if any_hit:
-            live &= ndone < R
+            # hits only appear here, so the early-exit count updates
+            # per processed leaf instead of per pop
+            ctl[3] = jnp.sum((prim_out[...] >= 0).astype(_I32)) + ndead
+
+    # control state lives in SMEM (not the while carry) so the leaf and
+    # interior branches each run ONLY their own slab tests/reduces —
+    # with carry state both arms' vector work ran on every pop
+    # (ctl: 0 sp, 1 pend, 2 cur, 3 ndone, 4 n_int, 5 n_leaf)
+    ctl[0] = _I32(1)
+    ctl[1] = _I32(-1)
+    ctl[2] = _I32(0)
+    ctl[3] = _I32(0)
+    ctl[4] = _I32(0)
+    ctl[5] = _I32(0)
+
+    def cond(live):
         return live
 
-    def body(carry):
-        sp, ndone, pend, cur, n_int, n_leaf = carry
+    def body(live):
+        sp = ctl[0]
         e = stack[sp - 1]                    # >0 wide node+1, <0 -(blk+1)
         is_leaf = e < 0
-        b = jnp.where(is_leaf, -e - 1, 0)
-        # pop-time re-test against the CURRENT shrunken per-ray t (the
-        # parent tested these bounds when it pushed, but leaves found
-        # since may have tightened tbest past this block)
-        leaf_hit = is_leaf & jnp.any(leaf_want(b))
 
-        # Double-buffered leaf pipeline: start this leaf's DMA into
-        # blk_buf[cur], then (while it flies) process the PREVIOUS leaf
-        # from the other buffer.  The DMA latency (~2µs × every leaf
-        # visit — measured ~40% of the closest-hit walk) hides behind
-        # the previous leaf's row tests and the following interior pops.
-        @pl.when(leaf_hit)
-        def _leaf():
-            pltpu.make_async_copy(tri_hbm.at[b],
-                                  blk_buf.at[cur], sem.at[cur]).start()
+        @pl.when(is_leaf)
+        def _leaf_pop():
+            b = -e - 1
+            ctl[0] = sp - 1
+            if stats:
+                ctl[5] = ctl[5] + 1
+            # pop-time re-test against the CURRENT shrunken per-ray t
+            # (the parent tested these bounds at push time, but leaves
+            # found since may have tightened tbest past this block)
+            leaf_hit = jnp.any(leaf_want(b))
 
-            @pl.when(pend >= 0)
-            def _drain_prev():
-                pltpu.make_async_copy(tri_hbm.at[pend],
-                                      blk_buf.at[1 - cur],
-                                      sem.at[1 - cur]).wait()
-                process_leaf(pend, 1 - cur)
+            # Double-buffered leaf pipeline: start this leaf's DMA into
+            # blk_buf[cur], then (while it flies) process the PREVIOUS
+            # leaf from the other buffer.  The DMA latency hides behind
+            # the previous leaf's row tests and later interior pops.
+            @pl.when(leaf_hit)
+            def _leaf():
+                pend, cur = ctl[1], ctl[2]
+                pltpu.make_async_copy(tri_hbm.at[b],
+                                      blk_buf.at[cur], sem.at[cur]).start()
+                ctl[1] = b
+                ctl[2] = 1 - cur
 
-        # interior: slab-test all four child slots (the four reduces
-        # issue back-to-back — ONE vector→scalar stall covers them),
-        # then push wanted children far-to-near so the near pops first
-        w = jnp.where(is_leaf, 0, e - 1)
-        base = 4 * w
-        keep = ~is_leaf
-        # empty slots MUST be gated by code != 0: their inverted boxes
-        # pass the slab test (tn = -inf <= tf = +inf), and popping code
-        # 0 reads node tables at base -4 — a traversal cycle
-        w0 = keep & (n_code[base] != 0) & jnp.any(child_want(base))
-        w1 = keep & (n_code[base + 1] != 0) & jnp.any(child_want(base + 1))
-        w2 = keep & (n_code[base + 2] != 0) & jnp.any(child_want(base + 2))
-        w3 = keep & (n_code[base + 3] != 0) & jnp.any(child_want(base + 3))
+                @pl.when(pend >= 0)
+                def _drain_prev():
+                    pltpu.make_async_copy(tri_hbm.at[pend],
+                                          blk_buf.at[1 - cur],
+                                          sem.at[1 - cur]).wait()
+                    process_leaf(pend, 1 - cur)
 
-        def sgn_of(ax):
-            # (3-arg select_n is unsupported by the Mosaic TPU lowering)
-            return jnp.where(ax == 0, sgn[0],
-                             jnp.where(ax == 1, sgn[1], sgn[2]))
+        @pl.when(~is_leaf)
+        def _interior_pop():
+            # slab-test all four child slots (the four reduces issue
+            # back-to-back — ONE vector→scalar stall covers them), then
+            # push wanted children far-to-near so the near pops first
+            w = e - 1
+            base = 4 * w
+            if stats:
+                ctl[4] = ctl[4] + 1
+            # empty slots MUST be gated by code != 0: their inverted
+            # boxes pass the slab test (tn = -inf <= tf = +inf), and
+            # popping code 0 reads node tables at base -4 — a cycle
+            w0 = (n_code[base] != 0) & jnp.any(child_want(base))
+            w1 = (n_code[base + 1] != 0) & jnp.any(child_want(base + 1))
+            w2 = (n_code[base + 2] != 0) & jnp.any(child_want(base + 2))
+            w3 = (n_code[base + 3] != 0) & jnp.any(child_want(base + 3))
 
-        pos0 = sgn_of(n_ax0[w])
-        posl = sgn_of(n_axl[w])
-        posr = sgn_of(n_axr[w])
-        la = jnp.where(posl, 0, 1)           # left pair near slot
-        ra = jnp.where(posr, 2, 3)           # right pair near slot
-        j0 = jnp.where(pos0, la, ra)         # near → far slot order
-        j1 = jnp.where(pos0, 1 - la, 5 - ra)
-        j2 = jnp.where(pos0, ra, la)
-        j3 = jnp.where(pos0, 5 - ra, 1 - la)
+            def sgn_of(ax):
+                # (3-arg select_n unsupported by the Mosaic lowering)
+                return jnp.where(ax == 0, sgn[0],
+                                 jnp.where(ax == 1, sgn[1], sgn[2]))
 
-        sp = sp - 1
-        for j in (j3, j2, j1, j0):           # push far first
-            wj = jnp.where(j == 0, w0,
-                           jnp.where(j == 1, w1,
-                                     jnp.where(j == 2, w2, w3)))
-            # unconditional write one past the top; only wanted slots
-            # advance sp, unwanted ones are overwritten by the next push
-            stack[jnp.minimum(sp, STACK - 1)] = n_code[base + j]
-            sp = sp + jnp.where(wj & (sp < STACK), 1, 0)
+            pos0 = sgn_of(n_ax0[w])
+            posl = sgn_of(n_axl[w])
+            posr = sgn_of(n_axr[w])
+            la = jnp.where(posl, 0, 1)       # left pair near slot
+            ra = jnp.where(posr, 2, 3)       # right pair near slot
+            j0 = jnp.where(pos0, la, ra)     # near → far slot order
+            j1 = jnp.where(pos0, 1 - la, 5 - ra)
+            j2 = jnp.where(pos0, ra, la)
+            j3 = jnp.where(pos0, 5 - ra, 1 - la)
 
-        pend = jnp.where(leaf_hit, b, pend)
-        cur = jnp.where(leaf_hit, 1 - cur, cur)
+            sp2 = sp - 1
+            for j in (j3, j2, j1, j0):       # push far first
+                wj = jnp.where(j == 0, w0,
+                               jnp.where(j == 1, w1,
+                                         jnp.where(j == 2, w2, w3)))
+                # unconditional write one past the top; only wanted
+                # slots advance sp, unwanted ones are overwritten
+                stack[jnp.minimum(sp2, STACK - 1)] = n_code[base + j]
+                sp2 = sp2 + jnp.where(wj & (sp2 < STACK), 1, 0)
+            ctl[0] = sp2
+
+        live2 = ctl[0] > 0
         if any_hit:
-            ndone = jnp.sum((prim_out[...] >= 0).astype(_I32)) \
-                + jnp.sum(dead_c.astype(_I32))
-        n_int = n_int + jnp.where(is_leaf, 0, 1)
-        n_leaf = n_leaf + jnp.where(leaf_hit, 1, 0)
-        return sp, ndone, pend, cur, n_int, n_leaf
+            live2 &= ctl[3] < R
+        return live2
 
-    _, _, pend, cur, n_int, n_leaf = jax.lax.while_loop(
-        cond, body, (_I32(1), _I32(0), _I32(-1), _I32(0), _I32(0),
-                     _I32(0)))
+    jax.lax.while_loop(cond, body, jnp.bool_(True))
     if stats:
-        stat_out[0:1, :] = stat_out[0:1, :] + n_int
-        stat_out[1:2, :] = stat_out[1:2, :] + n_leaf
+        stat_out[0:1, :] = stat_out[0:1, :] + ctl[4]
+        stat_out[1:2, :] = stat_out[1:2, :] + ctl[5]
 
     # drain the last pending leaf
+    pend, cur = ctl[1], ctl[2]
+
     @pl.when(pend >= 0)
     def _drain_last():
         pltpu.make_async_copy(tri_hbm.at[pend],
@@ -760,6 +793,7 @@ def _run(scalars, tri_blk, packed, packed_t, *, any_hit, lblk,
             pltpu.SMEM((STACK,), _I32),
             pltpu.VMEM((sub, 128), _F32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((8,), _I32),                  # ctl: sp/pend/cur/...
         ],
         interpret=interpret,
     )(*[scalars[k] for k in _SCALARS], packed, packed_t, tri_blk)
@@ -830,12 +864,15 @@ def _prep(blk, o, d, t_max, interpret, sub, seed=True):
     return scalars, packed, packed_t, n, perm, interpret
 
 
-def closest_hit(blk, o, d, t_min=0.0, t_max=INF, interpret=None, sub=SUB):
+def closest_hit(blk, o, d, t_min=0.0, t_max=INF, interpret=None, sub=SUB,
+                seed=True):
     """Drop-in counterpart of ``traverse.closest_hit`` over the packed
     block BVH ``blk`` (device dict from :func:`to_device`).
-    Returns (t (N,), prim (N,)), prim = -1 / t = INF on miss."""
+    Returns (t (N,), prim (N,)), prim = -1 / t = INF on miss.
+    ``seed=False`` skips the t_max-seeding dense pre-test (callers that
+    already tightened t_max themselves, e.g. ``trace._closest``)."""
     scalars, packed, packed_t, n, perm, interpret = _prep(
-        blk, o, d, t_max, interpret, sub)
+        blk, o, d, t_max, interpret, sub, seed=seed)
     t, prim = _run(scalars, blk["tri_blk"], packed, packed_t,
                    any_hit=False, lblk=blk["lblk"], interpret=interpret,
                    sub=sub)
@@ -868,7 +905,8 @@ def closest_hit_stats(blk, o, d, t_min=0.0, t_max=INF, interpret=None,
     return (jax.lax.bitcast_convert_type(out[:, 0], _F32), out[:, 1], st)
 
 
-def any_hit(blk, o, d, t_min=0.0, t_max=INF, interpret=None, sub=SUB):
+def any_hit(blk, o, d, t_min=0.0, t_max=INF, interpret=None, sub=SUB,
+            seed=True):
     """Occlusion query: True where any triangle lies in (t_min, t_max).
 
     Rays the seed set (dominant-area walls) already occludes skip the
@@ -877,9 +915,13 @@ def any_hit(blk, o, d, t_min=0.0, t_max=INF, interpret=None, sub=SUB):
     N = o.shape[0]
     if isinstance(t_max, (int, float)):
         t_max = jnp.full((N,), t_max, _F32)
-    t_seeded = _seed_t(blk, o, d, t_max)
-    occ_seed = t_seeded < t_max
-    t_run = jnp.where(occ_seed, _F32(0.0), t_max)
+    if seed:
+        t_seeded = _seed_t(blk, o, d, t_max)
+        occ_seed = t_seeded < t_max
+        t_run = jnp.where(occ_seed, _F32(0.0), t_max)
+    else:
+        occ_seed = jnp.zeros((N,), bool)
+        t_run = t_max
     scalars, packed, packed_t, n, perm, interpret = _prep(
         blk, o, d, t_run, interpret, sub, seed=False)
     t, prim = _run(scalars, blk["tri_blk"], packed, packed_t,

@@ -448,10 +448,7 @@ def _run(scalars, tri_blk, packed, packed_t, *, any_hit, lblk,
 def _sort_perm(blk, o, d, t_max):
     """Morton + octant coherence sort against the kd root bounds."""
     from lumo_tpu.accel import pallas_bvh as pb
-    root = blk["root"]
-    fake = {"lo_x": root[0:1], "lo_y": root[1:2], "lo_z": root[2:3],
-            "hi_x": root[3:4], "hi_y": root[4:5], "hi_z": root[5:6]}
-    return pb._sort_perm(fake, o, d, t_max)
+    return pb._sort_perm({"root": blk["root"]}, o, d, t_max)
 
 
 def _prep(blk, o, d, t_max, interpret, sub):

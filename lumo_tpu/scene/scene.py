@@ -95,6 +95,16 @@ class SceneData:
     n_ana_lights: int = dataclasses.field(metadata=dict(static=True))
     n_lights: int = dataclasses.field(metadata=dict(static=True))
     n_shadow_rays: int = dataclasses.field(metadata=dict(static=True))
+    # first n_bvh_tris triangles are covered by the accelerator; tris in
+    # [n_bvh_tris, n_tris) are split-out dominant-area geometry (walls)
+    # dense-tested by ``trace`` (reference: walls are objects outside
+    # the Mesh kd-tree).  Equal to n_tris when nothing is split out.
+    n_bvh_tris: int = dataclasses.field(default=-1,
+                                        metadata=dict(static=True))
+
+    def __post_init__(self):
+        if self.n_bvh_tris < 0:
+            object.__setattr__(self, "n_bvh_tris", self.n_tris)
 
     def rebuild_light_alias(self) -> "SceneData":
         """Recompute the light-selection pdf + Walker alias table from the
@@ -440,18 +450,40 @@ class SceneBuilder:
         #      list; triangle order untouched) ----
         bvh = None
         kdt = None
+        T_bvh = T
         if T >= BVH_THRESHOLD and accel == "bvh":
             import time as _time
             from lumo_tpu.accel import build as accel_build
             _t0 = _time.perf_counter()
-            lo_t, hi_t = accel_build.triangle_bounds(tri["a"], tri["b"], tri["c"])
+            # Split dominant-area triangles (room walls/floors) OUT of
+            # the BVH: their huge AABBs otherwise pass every packet's
+            # slab test and the root box grows to the whole room, which
+            # wrecks both the Morton-sort normalization and the walk
+            # (bench scene: interior pops 310 -> 96/packet once split).
+            # They are dense-tested in ``trace`` instead — the reference
+            # keeps walls as Plane/Rectangle objects OUTSIDE the mesh
+            # kd-tree and linearly scans objects the same way
+            # (``scene.rs`` object list).
+            area = 0.5 * np.linalg.norm(
+                np.cross(tri["b"] - tri["a"], tri["c"] - tri["a"]), axis=1)
+            huge = np.nonzero(area >= float(area.sum()) * 8.0 / T)[0]
+            if len(huge) > 64:
+                huge = huge[np.argsort(area[huge])[::-1][:64]]
+            if len(huge) == 0 or T - len(huge) < BVH_THRESHOLD:
+                huge = np.zeros(0, np.int64)
+            rest = np.setdiff1d(np.arange(T), huge)
+            T_bvh = len(rest)
+            lo_t, hi_t = accel_build.triangle_bounds(
+                tri["a"][rest], tri["b"][rest], tri["c"][rest])
             bvh = accel_build.build(lo_t, hi_t)
             _el = _time.perf_counter() - _t0
             if _el > 0.05:
                 # build-phase timing (reference ``bvh.rs:234,312``)
-                print(f"BVH: {T} tris, {len(bvh.node_right)} nodes "
-                      f"in {_el:.2f}s", flush=True)
-            order = bvh.order
+                print(f"BVH: {T_bvh} tris, {len(bvh.node_right)} nodes "
+                      f"(+{len(huge)} split-out) in {_el:.2f}s", flush=True)
+            # global order: BVH tris in leaf order, then the split-out
+            # dominant tris at the tail [T_bvh, T)
+            order = np.concatenate([rest[bvh.order], huge])
             tri = {k: v[order] for k, v in tri.items()}
             tri_mat = tri_mat[order]
             tri_is_light = tri_is_light[order]
@@ -554,11 +586,15 @@ class SceneBuilder:
             from lumo_tpu.accel import pallas_bvh
             import time as _time
             _t0 = _time.perf_counter()
+            seed_tri = np.concatenate(
+                [tri["a"][T_bvh:], tri["b"][T_bvh:], tri["c"][T_bvh:]],
+                axis=1)
             blk = pallas_bvh.pack_blocks(
                 {"lo": bvh.node_lo, "hi": bvh.node_hi,
                  "right": bvh.node_right, "first": bvh.node_first,
                  "count": bvh.node_count, "axis": bvh.node_axis},
-                tri["a"], tri["b"], tri["c"])
+                tri["a"][:T_bvh], tri["b"][:T_bvh], tri["c"][:T_bvh],
+                seed_tri=seed_tri)
             blk_dev = pallas_bvh.to_device(blk)
             _el = _time.perf_counter() - _t0
             if _el > 0.05:
@@ -651,6 +687,7 @@ class SceneBuilder:
             n_inst_prims=n_inst_prims, n_ana_lights=n_ana_lights,
             n_lights=L,
             n_shadow_rays=max(1, int(np.log2(max(L, 1))) if L > 1 else 1),
+            n_bvh_tris=(T_bvh if bvh is not None else T),
         )
 
     def _host_bounds(self):

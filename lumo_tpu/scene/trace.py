@@ -56,6 +56,44 @@ def _on_tpu():
     return jax.default_backend() not in ("cpu", "gpu")
 
 
+@jax.custom_jvp
+def _hit_t(o, d, tri_cat, p_safe, t_k, hit):
+    """Differentiable hit distance.  Primal: the traversal kernel's own
+    ``t_k`` untouched — no triangle gather on forward-only renders.
+    JVP: gathers the hit triangle and pushes tangents through the Woop
+    recompute (the traversal itself is opaque to AD; conditioned on the
+    discrete hit prim, t is a smooth function of ray and vertices)."""
+    return jnp.where(hit, t_k, INF)
+
+
+@_hit_t.defjvp
+def _hit_t_jvp(primals, tangents):
+    o, d, tri_cat, p_safe, t_k, hit = primals
+    do, dd, dtri, _, _, _ = tangents
+
+    def recompute(o, d, abc):
+        a, b, c = abc[:, 0:3], abc[:, 3:6], abc[:, 6:9]
+        kz, shear = geo.ray_setup(d)
+        t_re, _, _ = geo.triangle_t(o, kz, shear, a[:, None], b[:, None],
+                                    c[:, None], 0.0, INF)
+        return t_re[:, 0]
+
+    def zval(tg, pv):
+        return jnp.zeros_like(pv) if isinstance(tg, jax.custom_derivatives
+                                                .SymbolicZero) else tg
+
+    abc = tri_cat[p_safe]
+    dabc = zval(dtri, tri_cat)[p_safe] if not isinstance(
+        dtri, jax.custom_derivatives.SymbolicZero) else jnp.zeros_like(abc)
+    t_re, dt = jax.jvp(recompute, (o, d, abc),
+                       (zval(do, o), zval(dd, d), dabc))
+    out = jnp.where(hit, t_k, INF)
+    # the tangent gate must be PRIMAL-only (a condition on ``dt`` would
+    # be nonlinear in the tangent and break reverse-mode transposition)
+    tang = jnp.where(hit & jnp.isfinite(t_re), dt, 0.0)
+    return out, tang
+
+
 def _closest(scene: SceneData, o, d, t_max):
     """(t, global prim id) closest hit; BVH traversal for triangles when
     built, dense otherwise; spheres always dense (they are few).
@@ -72,6 +110,23 @@ def _closest(scene: SceneData, o, d, t_max):
             t_max = jnp.full(o.shape[:1], t_max, o.dtype)
         o_s, d_s = jax.lax.stop_gradient(o), jax.lax.stop_gradient(d)
         tm_s = jax.lax.stop_gradient(t_max)
+        # split-out dominant-area tris (walls, [n_bvh_tris, n_tris)):
+        # dense differentiable test, and its hit distance seeds the
+        # walk's t_max so every ray starts pruned (most bounce rays
+        # terminate on a wall the walk would otherwise discover late)
+        t_huge = p_huge = None
+        if scene.n_bvh_tris < scene.n_tris:
+            kz_h, shear_h = geo.ray_setup(d)
+            th_all, _, _ = geo.triangle_t(
+                o, kz_h, shear_h, scene.tri_a[None, scene.n_bvh_tris:],
+                scene.tri_b[None, scene.n_bvh_tris:],
+                scene.tri_c[None, scene.n_bvh_tris:], 0.0,
+                t_max[..., None])
+            p_huge = jnp.argmin(th_all, axis=-1).astype(jnp.int32)
+            t_huge = jnp.take_along_axis(
+                th_all, p_huge[..., None], axis=-1)[..., 0]
+            tm_s = jnp.minimum(tm_s, jax.lax.stop_gradient(jnp.where(
+                jnp.isfinite(t_huge), t_huge * 1.0001, tm_s)))
         if scene.kdtree is not None:
             if scene.kd_blk is not None and _on_tpu():
                 from lumo_tpu.accel import pallas_kd
@@ -84,27 +139,24 @@ def _closest(scene: SceneData, o, d, t_max):
         elif scene.bvh_blk is not None and _on_tpu():
             from lumo_tpu.accel import pallas_bvh
             t_tri, p_tri = pallas_bvh.closest_hit(
-                scene.bvh_blk, o_s, d_s, t_max=tm_s)
+                scene.bvh_blk, o_s, d_s, t_max=tm_s, seed=False)
         else:
             t_tri, p_tri = traverse.closest_hit(
                 scene.bvh, (scene.tri_a, scene.tri_b, scene.tri_c),
                 o_s, d_s, t_max=tm_s)
-        # differentiable t recompute against the chosen triangle (one
-        # wide (T, 9) gather — 3 narrow ones pay 3 tile reads per row)
+        # differentiable t via custom_jvp: the forward value is the
+        # kernel's own t (no gather), and only under differentiation
+        # does the per-hit triangle gather + Woop recompute materialize
+        # (the gather is ~5% of a 262k-lane closest call)
         p_safe = jnp.clip(p_tri, 0, max(scene.n_tris - 1, 0))
-        abc = jnp.concatenate([scene.tri_a, scene.tri_b, scene.tri_c],
-                              axis=1)[p_safe]
-        a, b, c = abc[:, 0:3], abc[:, 3:6], abc[:, 6:9]
-        kz, shear = geo.ray_setup(d)
-        t_re, _, _ = geo.triangle_t(o, kz, shear, a[:, None], b[:, None],
-                                    c[:, None], 0.0, INF)
-        t_re = t_re[:, 0]
-        t_tri = jnp.where(
-            p_tri >= 0,
-            jnp.where(jnp.isfinite(t_re), t_re,
-                      jax.lax.stop_gradient(t_tri)),
-            INF)
+        tri_cat = jnp.concatenate([scene.tri_a, scene.tri_b, scene.tri_c],
+                                  axis=1)
+        t_tri = _hit_t(o, d, tri_cat, p_safe, t_tri, p_tri >= 0)
         t, prim = t_tri, jnp.where(p_tri < 0, 0, p_tri)
+        if t_huge is not None:
+            better = t_huge < t
+            t = jnp.where(better, t_huge, t)
+            prim = jnp.where(better, scene.n_bvh_tris + p_huge, prim)
         if scene.n_spheres:
             t_sph = geo.sphere_t(o, d, scene.sph_center[None],
                                  scene.sph_radius[None], 0.0, t_max)
@@ -428,6 +480,18 @@ def occluded(scene: SceneData, o, d, t_max, key=None, rng=None, salt=0):
             t_max = jnp.full(o.shape[:1], t_max, o.dtype)
         o_s, d_s = jax.lax.stop_gradient(o), jax.lax.stop_gradient(d)
         tm_s = jax.lax.stop_gradient(t_max)
+        occ_huge = None
+        if scene.n_bvh_tris < scene.n_tris:
+            # split-out walls: dense occlusion test; already-occluded
+            # rays enter the walk dead (t_max 0) and sort away
+            kz_h, shear_h = geo.ray_setup(d_s)
+            th_all, _, _ = geo.triangle_t(
+                o_s, kz_h, shear_h, scene.tri_a[None, scene.n_bvh_tris:],
+                scene.tri_b[None, scene.n_bvh_tris:],
+                scene.tri_c[None, scene.n_bvh_tris:], 0.0,
+                tm_s[..., None])
+            occ_huge = jnp.any(jnp.isfinite(th_all), axis=-1)
+            tm_s = jnp.where(occ_huge, 0.0, tm_s)
         if scene.kdtree is not None:
             if scene.kd_blk is not None and _on_tpu():
                 from lumo_tpu.accel import pallas_kd
@@ -438,11 +502,14 @@ def occluded(scene: SceneData, o, d, t_max, key=None, rng=None, salt=0):
                     o_s, d_s, t_max=tm_s)
         elif scene.bvh_blk is not None and _on_tpu():
             from lumo_tpu.accel import pallas_bvh
-            occ = pallas_bvh.any_hit(scene.bvh_blk, o_s, d_s, t_max=tm_s)
+            occ = pallas_bvh.any_hit(scene.bvh_blk, o_s, d_s, t_max=tm_s,
+                                     seed=False)
         else:
             occ = traverse.any_hit(
                 scene.bvh, (scene.tri_a, scene.tri_b, scene.tri_c),
                 o_s, d_s, t_max=tm_s)
+        if occ_huge is not None:
+            occ = occ | occ_huge
         if scene.n_spheres:
             t_sph = geo.sphere_t(o, d, scene.sph_center[None],
                                  scene.sph_radius[None], 0.0, t_max[..., None])

@@ -188,11 +188,58 @@ def sub_main():
                   flush=True)
 
 
+def fit_main():
+    """Regress per-packet time = a*int + b*leaf + c*rows + d by sweeping
+    t_max on the bench-mix rays (varies pruning, hence the counters)."""
+    sb = empty_box((0.95, 0.95, 0.95),
+                   Material.diffuse((0.9, 0.1, 0.1)),
+                   Material.diffuse((0.1, 0.9, 0.1)))
+    v, f, vn = shapes.blob(subdiv=7, seed=11, amp=0.22)
+    Mesh(v, f, normals=vn).to_unit_size().to_origin().set_y(-0.799) \
+        .translate(0.0, 0.0, -1.5).add_to(
+            sb, Material.metal((0.9, 0.7, 0.1), 0.1, 2.5, 3.0))
+    scene = sb.build()
+    camera = build_camera(resolution=(256, 256))
+    rng = np.random.default_rng(0)
+    pix = rng.integers(0, 65536, N).astype(np.uint32)
+    raster = jnp.asarray(np.stack([(pix % 256), (pix // 256)], -1)
+                         .astype(np.float32) + 0.5)
+    o, d = camera.generate_ray(raster, jnp.full((N, 2), 0.5))
+    t1, p1 = jax.jit(lambda o, d: trace._closest(scene, o, d, 1e30))(o, d)
+    hitp = jnp.clip(o + t1[:, None] * d, -3, 3)
+    dd = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
+    dd = dd / jnp.linalg.norm(dd, axis=1, keepdims=True)
+    ob = hitp + 1e-4 * dd
+    blk = scene.bvh_blk
+    rows = []
+    for tmx in (0.02, 0.1, 0.3, 1.0, 1e30):
+        tm = jnp.full((N,), tmx, jnp.float32)
+        fn = jax.jit(lambda o, d, tm: pallas_bvh.closest_hit(
+            blk, o, d, t_max=tm, seed=False))
+        tt = timed(fn, ob, dd, tm, name=f"closest t_max={tmx}") - 0.025
+        st_fn = jax.jit(lambda o, d, tm: pallas_bvh.closest_hit_stats(
+            blk, o, d, t_max=tm))
+        _, _, st = st_fn(ob, dd, tm)
+        st = np.asarray(st)
+        NPK = st.shape[0]
+        rows.append((tt * 1e6 / NPK, st[:, 0].mean(), st[:, 1].mean(),
+                     st[:, 2].mean()))
+        print(f"   us/packet {rows[-1][0]:.0f} int {rows[-1][1]:.0f} "
+              f"leaf {rows[-1][2]:.0f} rows {rows[-1][3]:.0f}", flush=True)
+    A = np.array([[r[1], r[2], r[3], 1.0] for r in rows])
+    y = np.array([r[0] for r in rows])
+    coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+    print(f"fit us: per-int {coef[0]:.3f} per-leaf {coef[1]:.3f} "
+          f"per-row {coef[2]:.3f} fixed {coef[3]:.1f}", flush=True)
+
+
 if __name__ == "__main__":
     import sys as _sys
     if "--stats" in _sys.argv:
         stats_main()
     elif "--sub" in _sys.argv:
         sub_main()
+    elif "--fit" in _sys.argv:
+        fit_main()
     else:
         main()
